@@ -1,0 +1,53 @@
+"""SparkSession factory + per-session normalization.
+
+SURVEY.md §3.2/§5.3: one reused local session, AQE on, shuffle partitions
+sized to cores, session timezone pinned to UTC so timestamp collection is
+comparable with the DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_TUNED: set[int] = set()
+
+
+def get_spark(app_name: str = "etl-framework-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    """Normalize runtime confs on a session we did not create.
+
+    The driver passes its own SparkSession into ``queries()`` callables;
+    pin the runtime-settable confs that affect oracle equality
+    (SURVEY.md §5.3: UTC timestamps) and performance (AQE).
+    """
+    sid = id(spark)
+    if sid not in _TUNED:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        try:
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            if n > 64:  # default 200 is wrong for local mode (guide: ~cores)
+                spark.conf.set("spark.sql.shuffle.partitions", "32")
+        except Exception:
+            pass
+        _TUNED.add(sid)
+    return spark
