@@ -1,0 +1,109 @@
+"""Deduplication operators (SURVEY.md §2.11 L1/L2): exact, MinHash-LSH,
+SimHash — all expressed as JVM column expressions + ordinary joins, so
+they scale as hash-partitioned dataflow (no driver-side loops).
+
+Hash portability: md5 produces identical lowercase hex in Spark and
+DuckDB, so MinHash permutations are `min(md5(token || '#seed'))` over
+*lexicographic hex order* — deterministic, partition-independent, and
+exactly reproducible by the oracle. The Spark-native fast path would
+swap md5 for xxhash64 (≈4× cheaper, no oracle parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _perm(i: int):
+    # Single-argument lambda via closure factory: a two-parameter lambda
+    # would be bound by Spark as an (element, index) lambda, silently
+    # replacing the captured seed with the array index.
+    suffix = F.lit(f"#{i}")
+    return lambda t: F.md5(F.concat(t, suffix))
+
+
+def minhash_signature(tok_set: Column, k: int = 8) -> list[Column]:
+    """K MinHash values (hex strings), permutation i = md5(t || '#i')."""
+    return [F.array_min(F.transform(tok_set, _perm(i))) for i in range(k)]
+
+
+def duck_minhash(tok_expr: str, k: int = 8) -> list[str]:
+    """DuckDB mirror of `minhash_signature` ({tok_expr} = list expr)."""
+    return [
+        f"list_min(list_transform({tok_expr}, t -> md5(t || '#{i}')))" for i in range(k)
+    ]
+
+
+def lsh_band_pairs(sigs: DataFrame, id_col: str, k: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """Candidate pairs: docs sharing at least one LSH band key.
+
+    sigs must have columns id_col, s0..s{k-1}. Bands of `rows_per_band`
+    signature values are concatenated into a band key; a self-equi-join
+    on (band, key) finds collisions — bucket-local, never O(n²).
+    """
+    n_bands = k // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bkey"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sigs.select(id_col, F.explode(F.array(*band_structs)).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard(set_a: Column, set_b: Column) -> Column:
+    """Exact Jaccard over two *distinct-element* arrays."""
+    inter = F.size(F.array_intersect(set_a, set_b)).cast("double")
+    union = F.size(set_a).cast("double") + F.size(set_b).cast("double") - inter
+    return inter / union
+
+
+def simhash16(tok_set: Column) -> Column:
+    """16-bit SimHash: bit j is the majority vote of md5-nibble-j's top
+    bit across the token set (nibble >= 8). Pure column expressions —
+    fuses into codegen, no explode, no shuffle."""
+    n = F.size(tok_set)
+    high = list("89abcdef")
+
+    def bit_pred(j: int):
+        # closure factory: see _perm() — keep the lambda single-argument
+        return lambda t: F.substring(F.md5(t), j + 1, 1).isin(*high)
+
+    out = F.lit(0)
+    for j in range(16):
+        cnt = F.size(F.filter(tok_set, bit_pred(j)))
+        out = out + F.when(cnt * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+    return out.cast("bigint")
+
+
+def duck_simhash(tok_expr: str) -> str:
+    """DuckDB mirror of `simhash16`."""
+    terms = []
+    for j in range(16):
+        cnt = (
+            f"len(list_filter({tok_expr}, t -> substr(md5(t), {j + 1}, 1) IN "
+            "('8','9','a','b','c','d','e','f')))"
+        )
+        terms.append(f"(CASE WHEN {cnt} * 2 > len({tok_expr}) THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

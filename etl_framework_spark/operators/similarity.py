@@ -1,0 +1,81 @@
+"""Vector similarity primitives (SURVEY.md §2.11 L3/L7).
+
+The folds are written as strict left-to-right float64 accumulation so
+the DuckDB oracle (list_reduce over the same element order) produces
+bit-identical results: 0.0 + p1 == p1 in IEEE-754, and every
+subsequent add associates identically. Rounding at the query edge is
+belt-and-braces only.
+
+Scale path: these JVM higher-order functions vectorize per row and
+need no shuffle; for massive ANN fan-out use `lsh_buckets` to turn
+the O(n·m) scan into bucket-local joins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Strict sequential dot product of two float arrays, in float64."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_fold(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# DuckDB oracle snippets mirroring the folds above, for reuse in
+# oracle SQL strings. {a}/{b} are list-typed SQL expressions.
+DUCK_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+DUCK_NORM = (
+    "sqrt(list_reduce(list_transform({a},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+)
+
+
+def duck_cosine(a: str, b: str) -> str:
+    dot = DUCK_DOT.format(a=a, b=b)
+    na = DUCK_NORM.format(a=a)
+    nb = DUCK_NORM.format(a=b)
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes for sign-LSH bucketing."""
+    rs = np.random.RandomState(seed)
+    return rs.randn(n_planes, dim)
+
+
+def lsh_buckets(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-LSH bucket id: bit p = sign(dot(vec, plane_p)).
+
+    O(P·D) per row, JVM-side, no shuffle — the 100 TB path for ANN:
+    bucket first (this), then join candidates within buckets instead
+    of scanning all n·m pairs.
+    """
+    bucket = F.lit(0)
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        bit = (dot_fold(vec, plane) > 0).cast("int")
+        bucket = bucket + bit * (1 << p)
+    return bucket
+
+
+def stable_seed(tag: str) -> int:
+    """md5-derived integer seed — stable across processes/partitions
+    (never Python's salted hash(); SURVEY.md §7 'MinHash determinism')."""
+    return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)

@@ -8,7 +8,16 @@ _MODULES = ["relational", "aggregates"]
 
 # Grown incrementally as phases land (SURVEY.md §7); keep imports explicit
 # so a broken module fails loudly at import time, not at judge time.
-for _m in ["windows", "fn_families", "streaming_q", "llm", "udx", "pipeline_q"]:
+for _m in [
+    "windows",
+    "fn_families",
+    "llm",
+    "vector_q",
+    "asof_q",
+    "streaming_q",
+    "udx",
+    "pipeline_q",
+]:
     try:
         __import__(f"etl_framework_spark.queries.{_m}")
         _MODULES.append(_m)

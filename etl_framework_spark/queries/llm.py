@@ -1,0 +1,454 @@
+"""LLM-data-pipeline operators over `documents` (SURVEY.md §2.11):
+exact / MinHash-LSH / SimHash / n-gram-Jaccard dedup, text analysis,
+language ID, quality filtering, fingerprinting, multimodal columns.
+
+All dedup candidate generation is bucket-local (LSH bands, or
+metadata blocks) — never an unbounded self-cross-join — so the same
+plans hold at 100 TB: each stage is a hash shuffle on a bounded key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_framework_spark.catalog import table
+from etl_framework_spark.operators import multimodal
+from etl_framework_spark.operators.dedup import (
+    duck_minhash,
+    duck_simhash,
+    jaccard,
+    lsh_band_pairs,
+    minhash_signature,
+    simhash16,
+)
+from etl_framework_spark.operators.textops import (
+    BPE_PATTERN,
+    STOPWORDS,
+    lang_scores,
+    normalize_text,
+    shingles,
+    stopword_ratio,
+    tokens,
+)
+from etl_framework_spark.registry import query
+from etl_framework_spark.session import prep
+
+# Band math for this corpus (median pairwise Jaccard ≈ 0.66 — dense!):
+# 2 bands of 8 rows → P(candidate) = 1-(1-s^8)^2 ≈ 0.07 at s=0.66 but
+# 0.67 at s=0.9, so the candidate set stays ~7% of n² while recalling
+# true near-dups. A wide-recall config (4 bands of 2) degenerates to
+# ~66% of all pairs here.
+MINHASH_K = 16
+MINHASH_ROWS_PER_BAND = 8
+JACCARD_TAU = 0.9  # verify threshold for MinHash candidates
+BLOCK_JACCARD_TAU = 0.2  # threshold for metadata-blocked exact Jaccard
+
+_DUCK_TOKS = "string_split(text, ' ')"
+_DUCK_TOKSET = "list_distinct(string_split(text, ' '))"
+
+
+# --------------------------------------------------------------------------
+# L1 — exact dedup (normalize → sha256 → group)
+# --------------------------------------------------------------------------
+@query(
+    "llm_dedup_exact",
+    oracle=r"""
+    SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_hash,
+           min(doc_id) AS keeper,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (L1): one hash shuffle on the 256-bit digest; the
+    keeper is min(doc_id) so the answer is deterministic. Correctly
+    returns all-singleton groups when no duplicates exist."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2(normalize_text("text"), 256).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# L2a — MinHash + LSH near-dup (banded candidates, exact-Jaccard verify)
+# --------------------------------------------------------------------------
+def _duck_minhash_cte() -> str:
+    r = MINHASH_ROWS_PER_BAND
+    sig_cols = ", ".join(
+        f"{expr} AS s{i}" for i, expr in enumerate(duck_minhash("ts", MINHASH_K))
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs".format(
+            b=b, key=" || '|' || ".join(f"s{b * r + i}" for i in range(r))
+        )
+        for b in range(MINHASH_K // r)
+    )
+    return f"""
+    WITH toksets AS (SELECT doc_id, {_DUCK_TOKSET} AS ts FROM documents),
+    sigs AS (SELECT doc_id, {sig_cols} FROM toksets),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    """
+
+
+@query(
+    "llm_dedup_minhash",
+    oracle=_duck_minhash_cte()
+    + f"""
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                 / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))), 6)
+             AS jac
+    FROM cand c
+    JOIN toksets ta ON ta.doc_id = c.id_a
+    JOIN toksets tb ON tb.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+          / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)))
+          >= {JACCARD_TAU}
+    """,
+)
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup (L2): shingle→minhash→band→bucket-join→
+    exact-Jaccard verify. md5-permutations keep the signature stable
+    across partitions AND reproducible by the DuckDB oracle. Candidate
+    generation is band-bucket-local: cost is Σ bucket², never n²."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    toksets = docs.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("ts")
+    )
+    sigs = toksets.select(
+        "doc_id", *[s.alias(f"s{i}") for i, s in enumerate(minhash_signature(F.col("ts"), MINHASH_K))]
+    )
+    cand = lsh_band_pairs(sigs, "doc_id", k=MINHASH_K, rows_per_band=MINHASH_ROWS_PER_BAND)
+    ta = toksets.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    tb = toksets.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    jac = jaccard(F.col("ts_a"), F.col("ts_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(jac >= JACCARD_TAU)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jac"))
+    )
+
+
+# --------------------------------------------------------------------------
+# L2b — metadata-blocked exact n-gram Jaccard
+# --------------------------------------------------------------------------
+@query(
+    "llm_dedup_jaccard",
+    oracle=f"""
+    WITH toksets AS (SELECT doc_id, lang, source, {_DUCK_TOKSET} AS ts FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                 / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS jac
+    FROM toksets a
+    JOIN toksets b ON a.lang = b.lang AND a.source = b.source
+                  AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+          / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+          >= {BLOCK_JACCARD_TAU}
+    """,
+)
+def llm_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over metadata-blocked pairs (L2 verify
+    stage): blocking on (lang, source) bounds the pair count the same
+    way LSH bands do, with exact SQL-oracle semantics."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    toksets = docs.select(
+        "doc_id", "lang", "source", F.array_distinct(tokens("text")).alias("ts")
+    )
+    a = toksets.alias("a")
+    b = toksets.alias("b")
+    jac = jaccard(F.col("a.ts"), F.col("b.ts"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= BLOCK_JACCARD_TAU)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 6).alias("jac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L2c — SimHash fingerprints + near-pairs by Hamming distance
+# --------------------------------------------------------------------------
+@query(
+    "llm_simhash",
+    oracle=f"""
+    SELECT doc_id, {duck_simhash(_DUCK_TOKSET)} AS simhash
+    FROM documents
+    """,
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash signature (L2): majority vote of token-
+    hash bits; entirely codegen'd column math, no shuffle."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", simhash16(F.array_distinct(tokens("text"))).alias("simhash")
+    )
+
+
+@query(
+    "llm_dedup_simhash",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, lang, {duck_simhash(_DUCK_TOKSET)} AS simhash
+                FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (L2): Hamming ≤ 3 within language blocks.
+    At 100 TB the block key becomes simhash bit-bands (pigeonhole) —
+    same join shape, bounded buckets."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "lang", simhash16(F.array_distinct(tokens("text"))).alias("simhash")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(ham <= 3)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L4 — text analysis
+# --------------------------------------------------------------------------
+@query(
+    "llm_text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, n_chars, {_DUCK_TOKS} AS l FROM documents)
+    SELECT doc_id,
+           CAST(len(l) AS INT) AS n_tokens,
+           CAST(len(list_distinct(l)) AS INT) AS n_distinct,
+           round(CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6) AS ttr,
+           round(CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE)
+                 / len(l), 6) AS avg_tok_len,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INT) AS n_bpe,
+           round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / n_chars, 6) AS punct_ratio
+    FROM t
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics (L4): token counts, type-token
+    ratio, BPE-ish token count, punctuation ratio."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", "n_chars", tokens("text").alias("l"))
+    n_tok = F.size("l")
+    n_dis = F.size(F.array_distinct("l"))
+    tok_chars = F.aggregate(
+        F.transform("l", lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return t.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        F.round(n_dis.cast("double") / n_tok, 6).alias("ttr"),
+        F.round(tok_chars.cast("double") / n_tok, 6).alias("avg_tok_len"),
+        F.expr(f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0))").alias("n_bpe"),
+        F.round(
+            F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
+            / F.col("n_chars"),
+            6,
+        ).alias("punct_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L5 — declarative quality filter
+# --------------------------------------------------------------------------
+@query(
+    "llm_quality_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, n_chars, {_DUCK_TOKS} AS l FROM documents)
+    SELECT doc_id, lang, n_chars,
+           CAST(len(l) AS INT) AS n_tokens,
+           round(CAST(len(list_filter(l, x -> x IN
+               ({", ".join("'" + w + "'" for w in STOPWORDS["en"])}))) AS DOUBLE)
+               / len(l), 6) AS stop_ratio
+    FROM t
+    WHERE n_chars BETWEEN 100 AND 450
+      AND lang IN ('en', 'es', 'de')
+      AND len(l) BETWEEN 10 AND 90
+      AND CAST(len(list_filter(l, x -> x IN
+          ({", ".join("'" + w + "'" for w in STOPWORDS["en"])}))) AS DOUBLE)
+          / len(l) <= 0.9
+    """,
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gates (L5): char/token-count bounds, language allowlist,
+    stopword-ratio ceiling — all composable P2 predicates."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", "n_chars", tokens("text").alias("l"))
+    n_tok = F.size("l")
+    sr = stopword_ratio(F.col("l"), "en")
+    return (
+        t.filter(
+            F.col("n_chars").between(100, 450)
+            & F.col("lang").isin("en", "es", "de")
+            & n_tok.between(10, 90)
+            & (sr <= 0.9)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            n_tok.alias("n_tokens"),
+            F.round(sr, 6).alias("stop_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L4b — heuristic language identification
+# --------------------------------------------------------------------------
+def _duck_lang_score(lang: str) -> str:
+    wl = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"CAST(len(list_filter(l, t -> t IN ({wl}))) AS DOUBLE) / len(l)"
+
+
+@query(
+    "llm_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS l FROM documents),
+    s AS (SELECT doc_id, lang,
+                 {_duck_lang_score("en")} AS s_en,
+                 {_duck_lang_score("es")} AS s_es,
+                 {_duck_lang_score("de")} AS s_de,
+                 {_duck_lang_score("fr")} AS s_fr
+          FROM t)
+    SELECT doc_id, lang AS meta_lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0
+                  THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+                WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                WHEN s_fr > 0 THEN 'fr'
+                ELSE 'und' END AS pred_lang,
+           round(s_en, 6) AS score_en
+    FROM s
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (L4): stopword-hit ratios per language,
+    argmax with a fixed tie order (en > es > de > fr > und)."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens("text").alias("l"))
+    s = lang_scores(F.col("l"))
+    pred = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] > 0),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] > 0), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] > 0), "de")
+        .when(s["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+    return t.select(
+        "doc_id",
+        F.col("lang").alias("meta_lang"),
+        pred.alias("pred_lang"),
+        F.round(s["en"], 6).alias("score_en"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L4c — document fingerprint (min-hash over 3-gram shingles)
+# --------------------------------------------------------------------------
+@query(
+    "llm_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    s AS (SELECT doc_id,
+                 list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+                                i -> concat_ws(' ', l[i], l[i+1], l[i+2])) AS sh
+          FROM t)
+    SELECT doc_id,
+           CAST(len(sh) AS INT) AS n_shingles,
+           list_min(list_transform(sh, x -> md5(x))) AS fp_hash
+    FROM s
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-gram shingle fingerprint (L4): min over shingle
+    hashes — a winnowing-style content signature."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("l"))
+    sh = shingles("l", 3)
+    return t.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        F.array_min(F.transform(sh, lambda x: F.md5(x))).alias("fp_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L6 — multimodal binary columns
+# --------------------------------------------------------------------------
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS digest,
+           'application/octet-stream' AS mime
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata (L6): opaque bytes with exact
+    length/digest semantics (sha256 over the same UTF-8 bytes on both
+    engines)."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    b = multimodal.attach_binary(docs)
+    return b.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("digest"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+@query("mm_decode")  # rows-only: the decode kernel is a deterministic stub
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media decode plumbing (L6 ⛔): mapInPandas over
+    binary payloads; the codec itself is stubbed (none installed) but
+    schema/batching/partitioning are the real 100 TB shape."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    return multimodal.decode_media(multimodal.attach_binary(docs))

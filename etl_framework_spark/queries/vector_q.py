@@ -1,0 +1,192 @@
+"""Embedding/vector operators over `embeddings` (SURVEY.md §2.11 L3/L7):
+brute-force top-k cosine search, LSH-bucketed ANN (the scale path),
+embedding near-dup, per-label centroids, L2 norms.
+
+Cosine is computed as a strict left fold in float64 on both engines
+(see operators.similarity) so values match bit-for-bit; ranking orders
+by the ROUNDED similarity with a vec_id tiebreak so top-k sets are
+identical even if a future engine diverges in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_framework_spark.catalog import table
+from etl_framework_spark.operators.similarity import (
+    cosine,
+    duck_cosine,
+    lsh_buckets,
+    random_hyperplanes,
+)
+from etl_framework_spark.registry import query
+from etl_framework_spark.session import prep
+
+TOPK = 10
+QUERY_MOD = 10  # vec_id % QUERY_MOD == 0 rows act as the query set
+# ~99th pct of within-label cosine in the synthetic embeddings (max ≈ .47):
+# high enough to be selective, low enough to return a real pair set.
+NEARDUP_TAU = 0.3
+
+_COS_QE = duck_cosine("q.qe", "e.embedding")
+_COS_AB = duck_cosine("a.embedding", "b.embedding")
+
+
+# --------------------------------------------------------------------------
+# L3 — brute-force top-k cosine similarity search
+# --------------------------------------------------------------------------
+@query(
+    "llm_sim_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id % {QUERY_MOD} = 0),
+    pairs AS (SELECT q.qid, e.vec_id AS vid, round({_COS_QE}, 6) AS cos_sim
+              FROM q, embeddings e WHERE e.vec_id <> q.qid)
+    SELECT qid, vid, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, vid) AS rnk
+      FROM pairs)
+    WHERE rnk <= {TOPK}
+    """,
+)
+def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine search (L3 baseline): broadcast the query
+    set, stream the corpus once, per-query heap via window top-k. At
+    100 TB this is the verify/rerank stage; candidate pruning is
+    llm_sim_ann's job."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    cos = F.round(cosine(F.col("qe"), F.col("embedding")), 6)
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vid"))
+    return (
+        pairs.select("qid", F.col("vec_id").alias("vid"), cos.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# L3b — LSH-bucketed ANN (the 100 TB path; approximate by design)
+# --------------------------------------------------------------------------
+@query("llm_sim_ann")  # rows-only: ANN recall is probabilistic, no SQL oracle
+def llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN (L3 scale path): deterministic hyperplanes give a
+    2^P-bucket code; candidates are same-bucket only, so the join cost
+    is Σ bucket·queries_in_bucket instead of n·m. P=4 here: this
+    synthetic corpus is near-uniform (true neighbors sit at cos≈0.45,
+    barely above random), so recall/scan ≈ 3× chance is the honest
+    operating point — on clustered real data more planes pay off.
+    Unit tests assert better-than-chance recall vs the exact baseline."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    planes = random_hyperplanes(4, 64, seed=42)
+    coded = emb.select("vec_id", "embedding", lsh_buckets(F.col("embedding"), planes).alias("bkt"))
+    q = coded.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("bkt").alias("qbkt")
+    )
+    cand = coded.join(F.broadcast(q), (F.col("bkt") == F.col("qbkt")) & (F.col("vec_id") != F.col("qid")))
+    cos = F.round(cosine(F.col("qe"), F.col("embedding")), 6)
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vid"))
+    return (
+        cand.select("qid", F.col("vec_id").alias("vid"), cos.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# L2d — embedding-cosine near-duplicate pairs (label-blocked)
+# --------------------------------------------------------------------------
+@query(
+    "llm_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+           round({_COS_AB}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_COS_AB}, 6) >= {NEARDUP_TAU}
+    """,
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup (L2): cosine ≥ τ within label blocks —
+    blocking bounds the candidate pairs exactly like LSH bands."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= NEARDUP_TAU)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cos_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L7 — per-label, per-dimension centroids
+# --------------------------------------------------------------------------
+@query(
+    "llm_centroid",
+    oracle="""
+    WITH ex AS (SELECT label,
+                       unnest(generate_series(1, len(embedding))) - 1 AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings)
+    SELECT label, CAST(dim AS INT) AS dim,
+           round(avg(val), 6) AS centroid,
+           count(*) AS n_vecs
+    FROM ex GROUP BY label, dim
+    """,
+)
+def llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (L7): posexplode to (label, dim, val), then
+    an ordinary A1 hash agg — 640 groups regardless of corpus size."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"),
+            F.count("*").alias("n_vecs"),
+        )
+        .select("label", F.col("dim").cast("int").alias("dim"), "centroid", "n_vecs")
+    )
+
+
+# --------------------------------------------------------------------------
+# L7b — L2 norms / normalization check
+# --------------------------------------------------------------------------
+@query(
+    "llm_embed_norm",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)), 6)
+             AS l2_norm,
+           CAST(len(embedding) AS INT) AS dim
+    FROM embeddings
+    """,
+)
+def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm (L7): strict-fold sum of squares, rounded."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    from etl_framework_spark.operators.similarity import l2_norm
+
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
