@@ -1,0 +1,68 @@
+"""Benchmark runner (SURVEY.md §6): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Execution is forced with the noop sink (full plan runs, nothing is
+collected to the driver). Each query is timed twice and the min is
+reported — JIT/warmup noise dominates single runs in local mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "agg_groupby",        # TPC-H Q1 shape: scan + hash agg
+    "join_star",          # fact × 4 dims
+    "win_topk_group",     # window top-k
+    "topk",               # global TakeOrderedAndProject
+    "fn_string",          # scalar-function heavy projection
+    "stream_tumbling",    # time-window aggregation
+    "stream_session",     # session windows
+    "join_asof",          # as-of join
+    "llm_dedup_exact",    # normalize+hash dedup
+    "llm_dedup_minhash",  # MinHash-LSH near-dup
+    "llm_sim_topk",       # brute-force cosine top-k
+    "llm_text_stats",     # per-doc text analysis
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from etl_framework_spark.session import get_spark
+    import __spark_entry__ as ent
+
+    spark = get_spark("bench")
+    qs = ent.queries()
+
+    def run(key: str) -> float:
+        t0 = time.time()
+        qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("agg_groupby")  # session/JIT warmup, untimed
+    times: dict[str, float] = {}
+    for key in HEADLINE:
+        times[key] = round(min(run(key), run(key)), 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

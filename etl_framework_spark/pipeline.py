@@ -1,0 +1,194 @@
+"""Spec-driven pipeline engine (SURVEY.md §3.2 E1) — the
+reference-equivalent surface: a config dict declares sources, an
+ordered list of transform steps (SQL strings or named operators), and
+sinks; the engine materializes sources as temp views, resolves each
+step to a DataFrame transformation, and lets Catalyst plan the whole
+DAG declaratively.
+
+Spec shape:
+
+    {
+      "sources": {name: <source spec, see sources.readers>},
+      "steps": [
+        {"name": n, "sql": "SELECT ..."}                       # E3 path
+        | {"name": n, "input": prev, "op": op, "args": {...}}  # operator
+      ],
+      "sinks": [{"input": n, **sink spec}],
+    }
+
+Step operators are expression-string driven (like the reference's
+config-declared SQL transforms): conditions/projections are Spark SQL
+expression strings compiled by Catalyst — no Python row code.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_framework_spark.sources import read_source, write_sink
+
+OpFn = Callable[..., DataFrame]
+OPS: dict[str, OpFn] = {}
+
+
+def op(name: str) -> Callable[[OpFn], OpFn]:
+    def deco(fn: OpFn) -> OpFn:
+        OPS[name] = fn
+        return fn
+
+    return deco
+
+
+# -- operator registry (each = pure DataFrame -> DataFrame) -----------------
+@op("filter")
+def _filter(df: DataFrame, condition: str) -> DataFrame:
+    return df.filter(F.expr(condition))
+
+
+@op("select")
+def _select(df: DataFrame, exprs: list[str]) -> DataFrame:
+    return df.selectExpr(*exprs)
+
+
+@op("with_columns")
+def _with_columns(df: DataFrame, columns: dict[str, str]) -> DataFrame:
+    return df.withColumns({k: F.expr(v) for k, v in columns.items()})
+
+
+@op("drop")
+def _drop(df: DataFrame, columns: list[str]) -> DataFrame:
+    return df.drop(*columns)
+
+
+@op("join")
+def _join(
+    df: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    r = F.broadcast(right) if broadcast_right else right
+    return df.join(r, F.expr(on), how)
+
+
+@op("aggregate")
+def _aggregate(df: DataFrame, group_by: list[str], aggs: dict[str, str]) -> DataFrame:
+    exprs = [F.expr(v).alias(k) for k, v in aggs.items()]
+    if group_by:
+        return df.groupBy(*[F.expr(g) for g in group_by]).agg(*exprs)
+    return df.agg(*exprs)
+
+
+@op("window")
+def _window(df: DataFrame, columns: dict[str, str]) -> DataFrame:
+    """Window exprs as full SQL strings, e.g.
+    ``row_number() OVER (PARTITION BY k ORDER BY v DESC)``."""
+    return df.withColumns({k: F.expr(v) for k, v in columns.items()})
+
+
+@op("distinct")
+def _distinct(df: DataFrame) -> DataFrame:
+    return df.distinct()
+
+
+@op("dedup")
+def _dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+    """Keep the first row per key under a total order (exact dedup)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(*[F.expr(o) for o in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@op("union")
+def _union(df: DataFrame, right: DataFrame, by_name: bool = True) -> DataFrame:
+    return df.unionByName(right) if by_name else df.unionAll(right)
+
+
+@op("order_by")
+def _order_by(df: DataFrame, exprs: list[str]) -> DataFrame:
+    return df.orderBy(*[F.expr(e) for e in exprs])
+
+
+@op("limit")
+def _limit(df: DataFrame, n: int) -> DataFrame:
+    return df.limit(n)
+
+
+@op("repartition")
+def _repartition(df: DataFrame, num: int | None = None, by: list[str] | None = None) -> DataFrame:
+    cols = [F.col(c) for c in (by or [])]
+    if num and cols:
+        return df.repartition(num, *cols)
+    if cols:
+        return df.repartition(*cols)
+    return df.repartition(num)
+
+
+class Pipeline:
+    """Compiled pipeline: validated steps over named relations."""
+
+    def __init__(self, spec: dict[str, Any]):
+        self.spec = spec
+        self._validate()
+
+    def _validate(self) -> None:
+        known = set(self.spec.get("sources", {}))
+        for i, step in enumerate(self.spec.get("steps", [])):
+            if "name" not in step:
+                raise ValueError(f"step {i} missing 'name'")
+            if "sql" in step:
+                pass  # SQL steps reference temp views, checked at run time
+            elif "op" in step:
+                if step["op"] not in OPS:
+                    raise ValueError(
+                        f"step {step['name']!r}: unknown op {step['op']!r}; "
+                        f"known: {sorted(OPS)}"
+                    )
+                if step.get("input") not in known:
+                    raise ValueError(
+                        f"step {step['name']!r}: unknown input {step.get('input')!r}"
+                    )
+                right = step.get("args", {}).get("right")
+                if right is not None and right not in known:
+                    raise ValueError(f"step {step['name']!r}: unknown right {right!r}")
+            else:
+                raise ValueError(f"step {step['name']!r} needs 'sql' or 'op'")
+            known.add(step["name"])
+        for sink in self.spec.get("sinks", []):
+            if sink.get("input") not in known:
+                raise ValueError(f"sink references unknown relation {sink.get('input')!r}")
+
+    def run(self, spark: SparkSession) -> dict[str, DataFrame]:
+        """Materialize sources, apply steps in order, run sinks.
+        Returns every named relation (lazy DataFrames)."""
+        rel: dict[str, DataFrame] = {}
+        for name, src in self.spec.get("sources", {}).items():
+            df = read_source(spark, src)
+            df.createOrReplaceTempView(name)
+            rel[name] = df
+        for step in self.spec.get("steps", []):
+            if "sql" in step:
+                out = spark.sql(step["sql"])
+            else:
+                args = dict(step.get("args", {}))
+                if "right" in args:
+                    args["right"] = rel[args["right"]]
+                out = OPS[step["op"]](rel[step["input"]], **args)
+            out.createOrReplaceTempView(step["name"])
+            rel[step["name"]] = out
+        for sink in self.spec.get("sinks", []):
+            write_sink(rel[sink["input"]], {k: v for k, v in sink.items() if k != "input"})
+        return rel
+
+
+def run_pipeline(spark: SparkSession, spec: dict[str, Any]) -> dict[str, DataFrame]:
+    return Pipeline(spec).run(spark)

@@ -15,11 +15,9 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.operators import multimodal
 from etl_framework_spark.operators.dedup import (
+    attach_minhash,
     duck_minhash,
     duck_simhash,
-    jaccard,
-    lsh_band_pairs,
-    minhash_signature,
     simhash16,
 )
 from etl_framework_spark.operators.textops import (
@@ -35,13 +33,12 @@ from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
 
 # Band math for this corpus (median pairwise Jaccard ≈ 0.66 — dense!):
-# 2 bands of 8 rows → P(candidate) = 1-(1-s^8)^2 ≈ 0.07 at s=0.66 but
-# 0.67 at s=0.9, so the candidate set stays ~7% of n² while recalling
-# true near-dups. A wide-recall config (4 bands of 2) degenerates to
-# ~66% of all pairs here.
+# 2 bands of 8 rows → P(same bucket) = 1-(1-s^8)^2 ≈ 0.07 at s=0.66
+# but 0.67 at s=0.9, so buckets group true near-dups without lumping
+# the merely-similar majority. A wide-recall config (4 bands of 2)
+# merges ~66% of all pairs here.
 MINHASH_K = 16
 MINHASH_ROWS_PER_BAND = 8
-JACCARD_TAU = 0.9  # verify threshold for MinHash candidates
 BLOCK_JACCARD_TAU = 0.2  # threshold for metadata-blocked exact Jaccard
 
 _DUCK_TOKS = "string_split(text, ' ')"
@@ -74,7 +71,7 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# L2a — MinHash + LSH near-dup (banded candidates, exact-Jaccard verify)
+# L2a — MinHash + LSH dedup (banded buckets → cluster assignment)
 # --------------------------------------------------------------------------
 def _duck_minhash_cte() -> str:
     r = MINHASH_ROWS_PER_BAND
@@ -90,51 +87,59 @@ def _duck_minhash_cte() -> str:
     return f"""
     WITH toksets AS (SELECT doc_id, {_DUCK_TOKSET} AS ts FROM documents),
     sigs AS (SELECT doc_id, {sig_cols} FROM toksets),
-    bands AS ({band_selects}),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a JOIN bands b
-               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    bands AS ({band_selects})
     """
 
 
 @query(
     "llm_dedup_minhash",
     oracle=_duck_minhash_cte()
-    + f"""
-    SELECT c.id_a, c.id_b,
-           round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
-                 / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))), 6)
-             AS jac
-    FROM cand c
-    JOIN toksets ta ON ta.doc_id = c.id_a
-    JOIN toksets tb ON tb.doc_id = c.id_b
-    WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
-          / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)))
-          >= {JACCARD_TAU}
+    + """,
+    bmins AS (SELECT band, bkey, min(doc_id) AS bmin FROM bands GROUP BY 1, 2),
+    clusters AS (SELECT b.doc_id, min(m.bmin) AS cluster_id
+                 FROM bands b JOIN bmins m
+                   ON b.band = m.band AND b.bkey = m.bkey
+                 GROUP BY b.doc_id)
+    SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM clusters
     """,
 )
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup (L2): shingle→minhash→band→bucket-join→
-    exact-Jaccard verify. md5-permutations keep the signature stable
-    across partitions AND reproducible by the DuckDB oracle. Candidate
-    generation is band-bucket-local: cost is Σ bucket², never n²."""
+    """MinHash-LSH dedup (L2): shingle → minhash signature → band keys
+    → cluster assignment (min doc_id over every shared band bucket) →
+    keep/drop flag.
+
+    Scale design: the output is O(n) keep/drop decisions, NOT the
+    O(clique²) near-dup pair list — this corpus has a ~28%-of-corpus
+    near-identical clique, so any pair-emitting formulation does ~2M
+    array intersections inside one skewed bucket (measured 15-38s at
+    sf0.1); the cluster formulation is two skew-tolerant hash aggs +
+    one join against single-row bucket keys (~2s). md5-based
+    signatures stay identical across partitions and engines, so the
+    DuckDB oracle reproduces clusters exactly. Exact pairwise-Jaccard
+    verification on a bounded pair set lives in llm_dedup_jaccard."""
     prep(spark)
     docs = table(spark, sf_dir, "documents")
-    toksets = docs.select(
-        "doc_id", F.array_distinct(tokens("text")).alias("ts")
+    toksets = docs.select("doc_id", F.array_distinct(tokens("text")).alias("ts"))
+    sigs = attach_minhash(toksets, "ts", MINHASH_K).drop("ts")
+    r = MINHASH_ROWS_PER_BAND
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"s{b * r + i}") for i in range(r)]).alias("bkey"),
+        )
+        for b in range(MINHASH_K // r)
+    ]
+    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
     )
-    sigs = toksets.select(
-        "doc_id", *[s.alias(f"s{i}") for i, s in enumerate(minhash_signature(F.col("ts"), MINHASH_K))]
+    bmins = bands.groupBy("band", "bkey").agg(F.min("doc_id").alias("bmin"))
+    clusters = (
+        bands.join(bmins, ["band", "bkey"])
+        .groupBy("doc_id")
+        .agg(F.min("bmin").alias("cluster_id"))
     )
-    cand = lsh_band_pairs(sigs, "doc_id", k=MINHASH_K, rows_per_band=MINHASH_ROWS_PER_BAND)
-    ta = toksets.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"))
-    tb = toksets.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"))
-    jac = jaccard(F.col("ts_a"), F.col("ts_b"))
-    return (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
-        .filter(jac >= JACCARD_TAU)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jac"))
+    return clusters.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
     )
 
 
@@ -167,7 +172,7 @@ def llm_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = toksets.alias("a")
     b = toksets.alias("b")
-    jac = jaccard(F.col("a.ts"), F.col("b.ts"))
+    inter = F.size(F.array_intersect("a.ts", "b.ts")).cast("double")
     return (
         a.join(
             b,
@@ -175,12 +180,15 @@ def llm_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(jac >= BLOCK_JACCARD_TAU)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.round(jac, 6).alias("jac"),
+            inter.alias("inter"),
+            (F.size("a.ts") + F.size("b.ts")).alias("tot"),
         )
+        .withColumn("jac", F.col("inter") / (F.col("tot") - F.col("inter")))
+        .filter(F.col("jac") >= BLOCK_JACCARD_TAU)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
     )
 
 

@@ -1,0 +1,71 @@
+"""Declarative source readers and sink writers (SURVEY.md §2.1).
+
+The reference family declares sources/sinks in job configs (CSV/JSON
+files, JDBC, Hive) and delegates IO to Spark's DataSource API; this is
+the same surface as spec dicts:
+
+    {"format": "parquet"|"csv"|"json"|"jdbc", "path"|"url": ...,
+     "schema": "a INT, b STRING",   # optional DDL (schema-on-read)
+     "options": {...},              # passed through to the reader
+     "stream": true}                # readStream instead of read
+
+JDBC has no server in this environment: the code path exists and is
+argument-validated, but network reads are untested here (SURVEY.md §7
+non-goals).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FILE_FORMATS = {"parquet", "csv", "json", "orc"}
+
+
+def read_source(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
+    fmt = spec.get("format", "parquet")
+    options = dict(spec.get("options", {}))
+    if fmt == "jdbc":
+        required = {"url", "dbtable"}
+        missing = required - set(spec)
+        if missing:
+            raise ValueError(f"jdbc source missing {sorted(missing)}")
+        reader = spark.read.format("jdbc").option("url", spec["url"]).option(
+            "dbtable", spec["dbtable"]
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+    if fmt not in _FILE_FORMATS:
+        raise ValueError(f"unsupported source format {fmt!r}")
+    if "path" not in spec:
+        raise ValueError(f"{fmt} source needs 'path'")
+    reader = spark.readStream if spec.get("stream") else spark.read
+    if spec.get("schema"):
+        reader = reader.schema(spec["schema"])
+    elif fmt == "csv" and not spec.get("stream"):
+        options.setdefault("inferSchema", True)
+    if fmt == "csv":
+        options.setdefault("header", True)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return getattr(reader, fmt)(spec["path"])
+
+
+def write_sink(df: DataFrame, spec: dict[str, Any]) -> None:
+    fmt = spec.get("format", "parquet")
+    if fmt == "view":  # in-memory sink: register for downstream consumers
+        df.createOrReplaceTempView(spec["name"])
+        return
+    if fmt not in _FILE_FORMATS:
+        raise ValueError(f"unsupported sink format {fmt!r}")
+    writer = df.write.mode(spec.get("mode", "overwrite"))
+    if spec.get("partition_by"):
+        writer = writer.partitionBy(*spec["partition_by"])
+    options = dict(spec.get("options", {}))
+    if fmt == "csv":
+        options.setdefault("header", True)  # symmetric with the reader default
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    getattr(writer, fmt)(spec["path"])

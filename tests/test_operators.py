@@ -109,8 +109,14 @@ def test_minhash_partition_invariance(spark):
     """MinHash signatures must not depend on partitioning (stable,
     seeded hashing — never Python hash())."""
     qs = ent.queries()
-    base = {(r.id_a, r.id_b) for r in qs["llm_dedup_minhash"](spark, SF_SMALL).collect()}
-    docs = table(spark, SF_SMALL, "documents").repartition(13)
-    docs.createOrReplaceTempView("documents_repart")
-    again = {(r.id_a, r.id_b) for r in qs["llm_dedup_minhash"](spark, SF_SMALL).collect()}
+    base = {(r.doc_id, r.cluster_id) for r in qs["llm_dedup_minhash"](spark, SF_SMALL).collect()}
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    try:
+        again = {
+            (r.doc_id, r.cluster_id)
+            for r in qs["llm_dedup_minhash"](spark, SF_SMALL).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert base == again and len(base) > 0
+    assert any(d != c for d, c in base)  # some docs actually clustered away

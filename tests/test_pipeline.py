@@ -1,0 +1,114 @@
+"""Pipeline engine + source/sink connector tests (SURVEY.md §2.1, §3.2)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_framework_spark.catalog import table
+from etl_framework_spark.pipeline import Pipeline, run_pipeline
+from etl_framework_spark.sources import read_source, write_sink
+from tests.conftest import SF_SMALL
+
+SCRATCH = "/root/repo/.scratch/test_pipeline"
+
+
+def test_spec_validation_unknown_op():
+    with pytest.raises(ValueError, match="unknown op"):
+        Pipeline(
+            {
+                "sources": {"a": {"format": "parquet", "path": "/x"}},
+                "steps": [{"name": "b", "input": "a", "op": "nope", "args": {}}],
+            }
+        )
+
+
+def test_spec_validation_unknown_input():
+    with pytest.raises(ValueError, match="unknown input"):
+        Pipeline(
+            {
+                "sources": {},
+                "steps": [{"name": "b", "input": "missing", "op": "filter",
+                           "args": {"condition": "1=1"}}],
+            }
+        )
+
+
+def test_spec_validation_unknown_sink_input():
+    with pytest.raises(ValueError, match="unknown relation"):
+        Pipeline({"sources": {}, "steps": [], "sinks": [{"input": "nope", "path": "/x"}]})
+
+
+def test_pipeline_join_and_sql_steps(spark):
+    """Multi-source pipeline: op-join + SQL step + view sink."""
+    spec = {
+        "sources": {
+            "orders": {"format": "parquet", "path": f"{SF_SMALL}/orders.parquet"},
+            "customer": {"format": "parquet", "path": f"{SF_SMALL}/customer.parquet"},
+        },
+        "steps": [
+            {
+                "name": "joined",
+                "input": "orders",
+                "op": "join",
+                "args": {
+                    "right": "customer",
+                    "on": "o_custkey = c_custkey",
+                    "how": "inner",
+                    "broadcast_right": True,
+                },
+            },
+            {
+                "name": "by_segment",
+                "sql": "SELECT c_mktsegment, count(*) AS n FROM joined GROUP BY 1",
+            },
+        ],
+        "sinks": [{"input": "by_segment", "format": "view", "name": "seg_counts"}],
+    }
+    rel = run_pipeline(spark, spec)
+    n = rel["by_segment"].agg(F.sum("n")).collect()[0][0]
+    assert n == table(spark, SF_SMALL, "orders").count()
+    assert spark.table("seg_counts").count() == rel["by_segment"].count()
+
+
+def test_csv_json_roundtrip(spark):
+    """S2/S3/S6: csv + json sinks and schema-on-read sources."""
+    df = table(spark, SF_SMALL, "nation")
+    write_sink(df, {"format": "csv", "path": f"{SCRATCH}/nation_csv"})
+    write_sink(df, {"format": "json", "path": f"{SCRATCH}/nation_json"})
+    back_csv = read_source(
+        spark,
+        {
+            "format": "csv",
+            "path": f"{SCRATCH}/nation_csv",
+            "schema": "n_nationkey int, n_name string, n_regionkey int",
+        },
+    )
+    back_json = read_source(spark, {"format": "json", "path": f"{SCRATCH}/nation_json"})
+    base = sorted(map(str, df.collect()))
+    assert sorted(map(str, back_csv.collect())) == base
+    assert (
+        sorted(map(str, back_json.select("n_nationkey", "n_name", "n_regionkey").collect()))
+        == base
+    )
+
+
+def test_jdbc_source_validates_args(spark):
+    with pytest.raises(ValueError, match="jdbc source missing"):
+        read_source(spark, {"format": "jdbc", "url": "jdbc:postgresql://x/db"})
+
+
+def test_streaming_source_spec(spark):
+    """S8 via spec: stream=True returns a streaming DataFrame."""
+    src = read_source(
+        spark,
+        {
+            "format": "parquet",
+            "path": f"{SF_SMALL}/nation.*",
+            "schema": "n_nationkey int, n_name string, n_regionkey int",
+            "stream": True,
+        },
+    )
+    assert src.isStreaming

@@ -1,0 +1,83 @@
+"""Streaming equivalence (SURVEY.md §5.4): replay events.parquet
+through readStream + AvailableNow and assert convergence to the batch
+answer; exercise watermarks, streaming dedup, and stateful
+applyInPandasWithState."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_framework_spark.catalog import table
+from etl_framework_spark.queries.streaming_q import session_transform, tumbling_transform
+from etl_framework_spark.streaming import replay_events
+from tests.conftest import SF_SMALL
+
+
+def _canon(df):
+    return sorted(map(str, df.collect()))
+
+
+def test_tumbling_stream_equals_batch(spark):
+    batch = tumbling_transform(table(spark, SF_SMALL, "events"))
+    stream = replay_events(spark, SF_SMALL, tumbling_transform, "complete")
+    assert _canon(stream) == _canon(batch)
+
+
+def test_session_stream_equals_batch(spark):
+    batch = session_transform(table(spark, SF_SMALL, "events"))
+    stream = replay_events(spark, SF_SMALL, session_transform, "complete")
+    assert _canon(stream) == _canon(batch)
+
+
+def test_watermarked_dedup_converges(spark):
+    """T4/T5: watermark + dropDuplicates on replay covers every key
+    exactly once (events are unique per event_id, so count == batch)."""
+
+    def dedup(ev):
+        return ev.withWatermark("ts", "1 hour").dropDuplicates(["user_id", "event_type"])
+
+    stream = replay_events(spark, SF_SMALL, dedup, "append")
+    batch_keys = (
+        table(spark, SF_SMALL, "events").select("user_id", "event_type").distinct().count()
+    )
+    assert stream.count() == batch_keys
+    assert stream.select("user_id", "event_type").distinct().count() == batch_keys
+
+
+def test_stateful_apply_in_pandas_with_state(spark):
+    """T6: real streaming state — per-user running counters via
+    applyInPandasWithState; final update equals the batch group count."""
+    try:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+    except ImportError:
+        pytest.skip("applyInPandasWithState state API not available")
+
+    def count_state(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    def transform(ev):
+        return ev.groupBy("user_id").applyInPandasWithState(
+            count_state,
+            outputStructType="user_id bigint, n_events bigint",
+            stateStructType="n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    stream = replay_events(spark, SF_SMALL, transform, "update")
+    # keep the last update per user (AvailableNow may run several batches)
+    final = {r.user_id: r.n_events for r in stream.collect()}
+    batch = {
+        r.user_id: r.n
+        for r in table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == batch
