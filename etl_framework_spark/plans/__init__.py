@@ -1,0 +1,7 @@
+"""Plan inspection (SURVEY.md §3.3): make Catalyst's decisions
+observable — predicate pushdown, column pruning, join strategy,
+TakeOrderedAndProject — and snapshot them for regression diffing."""
+
+from etl_framework_spark.plans.inspect import explain_str, capture_plans, assert_in_plan
+
+__all__ = ["explain_str", "capture_plans", "assert_in_plan"]

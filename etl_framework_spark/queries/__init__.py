@@ -17,6 +17,7 @@ for _m in [
     "streaming_q",
     "udx",
     "pipeline_q",
+    "extras",
 ]:
     try:
         __import__(f"etl_framework_spark.queries.{_m}")

@@ -1,0 +1,64 @@
+"""Golden-plan assertions (SURVEY.md §3.3/§5.4): the optimizer
+behavior each query relies on must be visible in the physical plan —
+regressions here degrade 100 TB behavior long before sf0.1 notices."""
+
+from __future__ import annotations
+
+import __spark_entry__ as ent
+from etl_framework_spark.plans import assert_in_plan
+from tests.conftest import SF_SMALL
+
+
+def _q(spark, key):
+    return ent.queries()[key](spark, SF_SMALL)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """P2 predicates must reach the parquet reader as PushedFilters."""
+    plan = assert_in_plan(_q(spark, "filter_pred"), "PushedFilters: [")
+    assert "IsNotNull" in plan or "GreaterThanOrEqual" in plan
+
+
+def test_column_pruning(spark):
+    """P1 projection must prune the scan to the referenced columns."""
+    plan = assert_in_plan(_q(spark, "project_expr"), "ReadSchema")
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_shipdate" not in read_schema  # unused column not read
+    assert "l_extendedprice" in read_schema
+
+
+def test_broadcast_join_hint_honored(spark):
+    """J5: the dim sides must be broadcast, never sort-merge."""
+    assert_in_plan(
+        _q(spark, "join_broadcast"), "BroadcastHashJoin", absent=("SortMergeJoin",)
+    )
+
+
+def test_star_join_broadcasts_dims(spark):
+    """J10: nation/region ride broadcast exchanges."""
+    assert_in_plan(_q(spark, "join_star"), "BroadcastExchange")
+
+
+def test_topk_plans_take_ordered(spark):
+    """O2: ORDER BY + LIMIT must plan as TakeOrderedAndProject
+    (per-partition heaps), not a global sort."""
+    assert_in_plan(_q(spark, "topk"), "TakeOrderedAndProject", absent=("Sort ",))
+
+
+def test_no_cartesian_in_range_join(spark):
+    """J7: the band join must broadcast the tiny band side (BNLJ over
+    broadcast, not a shuffle cartesian)."""
+    assert_in_plan(_q(spark, "join_range"), "BroadcastNestedLoopJoin")
+
+
+def test_partial_aggregation(spark):
+    """A1: hash aggregation must run map-side partials (two
+    HashAggregate nodes around the exchange)."""
+    plan = assert_in_plan(_q(spark, "agg_groupby"), "HashAggregate")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_window_group_limit_pushdown(spark):
+    """W6: Spark pushes rank<=k into the sort (WindowGroupLimit) so
+    partitions never hold more than k rows per key."""
+    assert_in_plan(_q(spark, "win_topk_group"), "WindowGroupLimit")
