@@ -18,6 +18,8 @@ for _m in [
     "udx",
     "pipeline_q",
     "extras",
+    "extras2",
+    "corpus",
 ]:
     try:
         __import__(f"etl_framework_spark.queries.{_m}")

@@ -1,0 +1,179 @@
+"""Corpus-level text-pipeline operators (SURVEY.md §2.11 L4 widening):
+vocabulary extraction, bigram statistics, TF-IDF scoring — the
+token-level building blocks of a training-data pipeline at 100 TB
+(explode → hash agg → top-k; every stage partial-aggregates
+map-side, so hot tokens like stopwords never skew a reducer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_framework_spark.catalog import table
+from etl_framework_spark.operators.textops import shingles, tokens
+from etl_framework_spark.registry import query
+from etl_framework_spark.session import prep
+
+VOCAB_TOP = 100
+BIGRAM_TOP = 50
+TFIDF_DOCS = 50  # doc_id bound for the per-doc TF-IDF output
+
+
+@query(
+    "llm_vocab",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+    SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df
+    FROM toks GROUP BY tok
+    ORDER BY n DESC, tok LIMIT {VOCAB_TOP}
+    """,
+)
+def llm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (L4): token frequency + document frequency,
+    top-{100} under a total order. Count-style aggs partial-aggregate,
+    so the 'the'-token hot key reduces map-side."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(VOCAB_TOP)
+    )
+
+
+@query(
+    "llm_bigrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    bi AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, greatest(len(l) - 1, 1)),
+                         i -> concat_ws(' ', l[i], l[i+1]))) AS bg
+           FROM t)
+    SELECT bg, count(*) AS n
+    FROM bi GROUP BY bg
+    ORDER BY n DESC, bg LIMIT {BIGRAM_TOP}
+    """,
+)
+def llm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram statistics (L4): 2-gram shingles → frequency top-k."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("l"))
+    bi = t.select("doc_id", F.explode(shingles("l", 2)).alias("bg"))
+    return (
+        bi.groupBy("bg")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bg")
+        .limit(BIGRAM_TOP)
+    )
+
+
+@query(
+    "llm_tfidf",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents WHERE doc_id < {TFIDF_DOCS}),
+    ntok AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    alltoks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                FROM documents),
+    dfreq AS (SELECT tok, count(*) AS df FROM alltoks GROUP BY tok),
+    corpus AS (SELECT count(*) AS nn FROM documents)
+    SELECT tf.doc_id, tf.tok,
+           round((CAST(tf.c AS DOUBLE) / ntok.n)
+                 * ln(CAST(corpus.nn AS DOUBLE) / dfreq.df), 6) AS tfidf
+    FROM tf
+    JOIN ntok ON ntok.doc_id = tf.doc_id
+    JOIN dfreq ON dfreq.tok = tf.tok
+    CROSS JOIN corpus
+    """,
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (L4): tf = in-doc frequency ratio, idf = ln(N/df) with
+    df computed over the FULL corpus; scored for a bounded doc subset.
+    At 100 TB: df/N are corpus-wide partial-agg statistics broadcast
+    back against the per-doc term table — exactly this plan."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("doc_id") < TFIDF_DOCS).select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    ntok = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    alltoks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    dfreq = alltoks.groupBy("tok").agg(F.count("*").alias("df"))
+    corpus_n = docs.agg(F.count("*").alias("nn"))
+    return (
+        tf.join(ntok, "doc_id")
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(corpus_n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log(F.col("nn").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query("llm_sim_ivf")  # rows-only: IVF is approximate by design
+def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (L3 scale path, complement to sign-LSH): coarse
+    quantizer = per-label centroids (training collects exactly
+    10×64 floats — a bounded model, not data), each vector assigned
+    to its nearest centroid cell, queries probe the 2 nearest cells.
+    Join cost is cell-local; recall asserted vs exact in unit tests."""
+    prep(spark)
+    from etl_framework_spark.operators.similarity import dot_fold, l2_norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
+        .select("label", F.col("sc.c").alias("centroid"))
+        .collect()
+    )  # bounded: n_labels × dim values — the trained coarse quantizer
+    cents = spark.createDataFrame(
+        [(int(r.label), [float(x) for x in r.centroid]) for r in cent_rows],
+        "cell int, centroid array<double>",
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        (
+            dot_fold(F.col("embedding"), F.col("centroid"))
+            / (l2_norm(F.col("embedding")) * l2_norm(F.col("centroid")))
+        ).alias("csim"),
+    )
+    w_cell = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
+    ranked = scored.withColumn("crnk", F.row_number().over(w_cell))
+    assign = ranked.filter(F.col("crnk") == 1).select("vec_id", "embedding", "cell")
+    probes = (
+        ranked.filter((F.col("crnk") <= 2) & (F.col("vec_id") % 10 == 0))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cell")
+    )
+    cand = assign.join(F.broadcast(probes), "cell").filter(F.col("vec_id") != F.col("qid"))
+    cos = F.round(
+        dot_fold(F.col("qe"), F.col("embedding"))
+        / (l2_norm(F.col("qe")) * l2_norm(F.col("embedding"))),
+        6,
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vid"))
+    return (
+        cand.select("qid", F.col("vec_id").alias("vid"), cos.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )

@@ -1,0 +1,141 @@
+"""Property-based checks (SURVEY.md §5.4) with hypothesis: the
+operators must agree with independent reference implementations on
+generated inputs, not just on the shipped testdata."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+import __spark_entry__ as ent
+from etl_framework_spark.catalog import table
+from etl_framework_spark.operators.asof import asof_join
+from etl_framework_spark.operators.skew import salted_sum_count
+from tests.conftest import SF_SMALL
+
+SF_MID = "/root/testdata/sf0.01"
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),     # key
+        st.integers(min_value=0, max_value=1000),  # ts (seconds)
+        st.booleans(),                             # is_left
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy)
+def test_asof_join_matches_pandas_merge_asof(spark_global, rows):
+    """asof_join == pd.merge_asof (backward, inclusive) per key, with
+    max-tiebreak among equal right timestamps."""
+    spark = spark_global
+    left = [(i, k, t) for i, (k, t, is_l) in enumerate(rows) if is_l]
+    right = [(i, k, t, float(i)) for i, (k, t, is_l) in enumerate(rows) if not is_l]
+    if not left or not right:
+        return
+    ldf = spark.createDataFrame(left, "eid long, k long, ts long")
+    rdf = spark.createDataFrame(right, "eid long, k long, ts long, payload double")
+    out = asof_join(
+        ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+        payload_cols=["eid"], tiebreak="eid",
+    ).collect()
+    got = {r.eid: r.right_eid for r in out}
+    # reference: for each left row, the right row with max (ts, eid)
+    # among rows of the same key with ts <= left ts
+    for lid, k, t in left:
+        cands = [(rt, rid) for rid, rk, rt, _ in right if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, got[lid], want)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.floats(-1e6, 1e6)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_salted_aggregation_equals_plain(spark_global, rows):
+    """Two-phase salted agg ≡ plain groupBy sum/count (float sums
+    compared with tolerance: association order differs by design)."""
+    spark = spark_global
+    df = spark.createDataFrame(rows, "k int, v double")
+    got = {
+        r.k: (r.sum_value, r.n_rows)
+        for r in salted_sum_count(df, ["k"], "v", n_salts=4).collect()
+    }
+    want = {
+        r.k: (r.s, r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert abs(got[k][0] - want[k][0]) <= 1e-6 * max(1.0, abs(want[k][0]))
+
+
+def test_ivf_candidates_report_true_cosines(spark):
+    """IVF ANN (rows-only key): reported cosines must equal the exact
+    top-k query's cosines on shared pairs, and recall must be
+    meaningfully better than chance."""
+    qs = ent.queries()
+    exact = {(r.qid, r.vid): r.cos_sim for r in qs["llm_sim_topk"](spark, SF_MID).collect()}
+    ivf_rows = qs["llm_sim_ivf"](spark, SF_MID).collect()
+    ivf = {(r.qid, r.vid): r.cos_sim for r in ivf_rows}
+    shared = set(exact) & set(ivf)
+    assert shared, "IVF found none of the true top-k pairs"
+    for pair in shared:
+        assert abs(exact[pair] - ivf[pair]) < 1e-9
+    recall = len(shared) / len(exact)
+    # probing 2 of 10 cells scans ~20% of the corpus; require clearly
+    # better-than-chance density of true neighbors in the probed cells
+    assert recall > 0.25, recall
+
+
+def test_months_between_unit(spark):
+    """F2 footnote: months_between has no DuckDB equivalent — pin the
+    Spark semantics (31-day-month fractions) here instead."""
+    df = spark.createDataFrame(
+        [("2024-03-31", "2024-01-31"), ("2024-03-15", "2024-01-31")],
+        "a string, b string",
+    ).select(
+        F.months_between(F.col("a").cast("date"), F.col("b").cast("date")).alias("mb")
+    )
+    vals = [r.mb for r in df.collect()]
+    assert vals[0] == 2.0  # month-end to month-end is whole months
+    assert abs(vals[1] - 1.48387097) < 1e-6
+
+
+def test_quantile_approx_tolerance(spark):
+    """A8 approx half: approx_percentile within the accuracy bound of
+    the exact quantile."""
+    approx = {
+        r.event_type: (r.p50_approx, r.p90_approx)
+        for r in ent.queries()["agg_quantile_approx"](spark, SF_MID).collect()
+    }
+    ev = table(spark, SF_MID, "events")
+    exact = {
+        r.event_type: (r.p50, r.p90)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+        )
+        .collect()
+    }
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) <= 0.05 * max(1.0, abs(e)), (k, a, e)
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark
