@@ -113,6 +113,14 @@ def _union(df: DataFrame, right: DataFrame, by_name: bool = True) -> DataFrame:
     return df.unionByName(right) if by_name else df.unionAll(right)
 
 
+@op("merge_upsert")
+def _merge_upsert(df: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """MERGE INTO emulation: `right` rows replace target rows on key."""
+    from etl_framework_spark.operators.cdc import merge_upsert
+
+    return merge_upsert(df, right, key)
+
+
 @op("order_by")
 def _order_by(df: DataFrame, exprs: list[str]) -> DataFrame:
     return df.orderBy(*[F.expr(e) for e in exprs])

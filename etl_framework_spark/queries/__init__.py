@@ -20,6 +20,8 @@ for _m in [
     "extras",
     "extras2",
     "corpus",
+    "tpch_like",
+    "cdc_q",
 ]:
     try:
         __import__(f"etl_framework_spark.queries.{_m}")
