@@ -27,7 +27,8 @@ HEADLINE = [
     "join_asof",          # as-of join
     "llm_dedup_exact",    # normalize+hash dedup
     "llm_dedup_minhash",  # MinHash-LSH near-dup
-    "llm_sim_topk",       # brute-force cosine top-k
+    "llm_sim_topk",       # brute-force cosine top-k (exact fold)
+    "llm_sim_topk_gemm",  # same, Arrow-batched BLAS fast path
     "llm_text_stats",     # per-doc text analysis
 ]
 

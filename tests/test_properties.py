@@ -100,6 +100,21 @@ def test_ivf_candidates_report_true_cosines(spark):
     assert recall > 0.25, recall
 
 
+def test_gemm_topk_matches_fold(spark):
+    """The BLAS fast path must reproduce the exact fold's top-k pairs
+    and cosines (within float tolerance at the ranking boundary)."""
+    qs = ent.queries()
+    exact = {(r.qid, r.vid): r.cos_sim for r in qs["llm_sim_topk"](spark, SF_MID).collect()}
+    gemm = {(r.qid, r.vid): r.cos_sim for r in qs["llm_sim_topk_gemm"](spark, SF_MID).collect()}
+    assert len(gemm) == len(exact)
+    overlap = set(exact) & set(gemm)
+    # ranking-boundary pairs may swap when rounded cosines tie; demand
+    # near-total agreement and exact value agreement on the overlap
+    assert len(overlap) >= 0.99 * len(exact), (len(overlap), len(exact))
+    for pair in overlap:
+        assert abs(exact[pair] - gemm[pair]) < 1e-5
+
+
 def test_months_between_unit(spark):
     """F2 footnote: months_between has no DuckDB equivalent — pin the
     Spark semantics (31-day-month fractions) here instead."""
