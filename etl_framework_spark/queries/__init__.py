@@ -22,6 +22,7 @@ for _m in [
     "corpus",
     "tpch_like",
     "cdc_q",
+    "extras3",
 ]:
     try:
         __import__(f"etl_framework_spark.queries.{_m}")
