@@ -1,0 +1,64 @@
+"""Iterative graph operators (SURVEY.md §2.11 L2 fixpoint stage).
+
+Connected components via label propagation — the classic pre-
+GraphFrames formulation: each node repeatedly takes the minimum label
+among itself and its neighbors until no label changes. The driver only
+controls the loop (bounded iterations + a convergence count per
+round); all data movement is hash-partitioned joins/aggs. Lineage is
+truncated per iteration with localCheckpoint, otherwise the plan tree
+doubles every round.
+
+At 100 TB this is the dedup *fixpoint* stage: the one-pass bucket-min
+assignment (llm_dedup_minhash) under-merges chains A~B~C where A,C
+never share a bucket; label propagation converges to the true
+transitive closure in O(log n) rounds on real cluster structures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """(node, component) for every node in `edges`; component = min
+    node id reachable. Undirected; self-loops implied."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))

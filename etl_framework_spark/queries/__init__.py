@@ -23,6 +23,7 @@ for _m in [
     "tpch_like",
     "cdc_q",
     "extras3",
+    "extras4",
 ]:
     try:
         __import__(f"etl_framework_spark.queries.{_m}")

@@ -1,0 +1,171 @@
+"""Fourth-wave coverage: explicit GROUPING SETS, unpivot/melt, HAVING
+and NOT-IN query shapes (TPC-H Q18/Q16 style), and null-ordering
+windows over an outer-join result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_framework_spark.catalog import register_views, table
+from etl_framework_spark.registry import query
+from etl_framework_spark.session import prep
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A5 beyond rollup/cube): marginals per
+    flag, per status, and the grand total in one pass."""
+    prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS qty,
+             round(sum(l_extendedprice), 2) AS price,
+             round(sum(l_discount), 2) AS disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'qty' AS metric, qty AS value FROM base
+    UNION ALL
+    SELECT l_returnflag, 'price', price FROM base
+    UNION ALL
+    SELECT l_returnflag, 'disc', disc FROM base
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (A10 inverse): wide per-flag sums → long
+    (metric, value) rows via DataFrame unpivot."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum("l_discount"), 2).alias("disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "q18_bigorders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING sum(l.l_quantity) > 150
+    """,
+)
+def q18_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via HAVING on an
+    aggregated join."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 150)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("__qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q16_notin",
+    oracle="""
+    SELECT p.p_brand, p.p_type,
+           count(DISTINCT l.l_suppkey) AS n_suppliers
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type
+    """,
+)
+def q16_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery (null-aware anti join) +
+    distinct-supplier counts per brand/type."""
+    prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type,
+               count(DISTINCT l.l_suppkey) AS n_suppliers
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type
+        """
+    )
+
+
+@query(
+    "win_null_order",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_custkey, o.o_totalprice
+      FROM customer c
+      LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        ON c.c_custkey = o.o_custkey)
+    SELECT c_custkey, round(o_totalprice, 2) AS totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC NULLS LAST,
+                              c_custkey) AS rn
+    FROM j
+    """,
+)
+def win_null_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-ordering window (O1/W1): explicit DESC NULLS LAST over a
+    null-producing outer join, with a key tiebreak for totality."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    j = c.join(o, c.c_custkey == o.o_custkey, "left").select("c_custkey", "o_totalprice")
+    w = W.orderBy(F.col("o_totalprice").desc_nulls_last(), F.col("c_custkey"))
+    return j.select(
+        "c_custkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.row_number().over(w).alias("rn"),
+    )

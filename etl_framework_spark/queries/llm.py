@@ -460,3 +460,45 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     docs = table(spark, sf_dir, "documents")
     return multimodal.decode_media(multimodal.attach_binary(docs))
+
+
+@query("llm_dedup_cc")  # rows-only: iterative fixpoint, not SQL-expressible
+def llm_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters (L2 fixpoint): label propagation
+    over the LSH band graph until convergence. The one-pass bucket-min
+    of llm_dedup_minhash under-merges chains (A~B~C where A,C never
+    share a bucket); this converges to the true connected components.
+    Star edges (doc -> bucket min) keep the edge list O(n·bands), not
+    O(clique²). Unit-tested against a union-find reference."""
+    prep(spark)
+    from etl_framework_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    toksets = docs.select("doc_id", F.array_distinct(tokens("text")).alias("ts"))
+    sigs = attach_minhash(toksets, "ts", MINHASH_K).drop("ts")
+    r = MINHASH_ROWS_PER_BAND
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"s{b * r + i}") for i in range(r)]).alias("bkey"),
+        )
+        for b in range(MINHASH_K // r)
+    ]
+    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
+    )
+    bmins = bands.groupBy("band", "bkey").agg(F.min("doc_id").alias("bmin"))
+    edges = (
+        bands.join(bmins, ["band", "bkey"])
+        .filter(F.col("doc_id") != F.col("bmin"))
+        .select(F.col("doc_id").alias("src"), F.col("bmin").alias("dst"))
+        .distinct()
+    )
+    cc = connected_components(edges, max_iter=15)
+    # singletons (no edges) are their own component
+    all_docs = docs.select(F.col("doc_id").alias("node"))
+    full = all_docs.join(cc, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("component", F.col("node")).alias("component"),
+    )
+    return full.withColumn("keep", F.col("doc_id") == F.col("component"))

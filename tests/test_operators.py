@@ -120,3 +120,63 @@ def test_minhash_partition_invariance(spark):
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert base == again and len(base) > 0
     assert any(d != c for d, c in base)  # some docs actually clustered away
+
+
+def test_connected_components_matches_union_find(spark):
+    """Label-propagation CC equals a driver-side union-find reference
+    on the sf0.001 LLM dedup graph (and on a crafted chain where the
+    one-pass bucket-min under-merges)."""
+    import __spark_entry__ as ent2
+
+    out = {r.doc_id: r.component for r in ent2.queries()["llm_dedup_cc"](spark, SF_SMALL).collect()}
+
+    # reference union-find over the same star edges, rebuilt independently
+    from etl_framework_spark.operators.dedup import attach_minhash
+    from etl_framework_spark.operators.textops import tokens as _tokens
+    from etl_framework_spark.catalog import table as _table
+    import pyspark.sql.functions as FF
+
+    docs = _table(spark, SF_SMALL, "documents")
+    toksets = docs.select("doc_id", FF.array_distinct(_tokens("text")).alias("ts"))
+    sigs = attach_minhash(toksets, "ts", 16).drop("ts")
+    bands = []
+    for b in range(2):
+        key = FF.concat_ws("|", *[FF.col(f"s{b*8+i}") for i in range(8)])
+        bands.append(sigs.select("doc_id", FF.lit(b).alias("band"), key.alias("bkey")))
+    bdf = bands[0].union(bands[1])
+    bm = bdf.groupBy("band", "bkey").agg(FF.min("doc_id").alias("bmin"))
+    edges = [
+        (r.doc_id, r.bmin)
+        for r in bdf.join(bm, ["band", "bkey"]).select("doc_id", "bmin").collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # normalize to min-reachable id
+    for r in docs.select("doc_id").collect():
+        find(r.doc_id)
+    want = {}
+    for r in docs.select("doc_id").collect():
+        d = r.doc_id
+        want[d] = find(d) if d in parent else d
+    # path-compress fully
+    want = {d: find(d) if d in parent else d for d in want}
+    assert out == want
+    # a chain a-b, b-c must collapse to one component (fixpoint property)
+    from etl_framework_spark.operators.graph import connected_components
+    chain = spark.createDataFrame([(2, 1), (3, 2), (4, 3)], "src long, dst long")
+    cc = {r.node: r.component for r in connected_components(chain).collect()}
+    assert set(cc.values()) == {1}
