@@ -257,3 +257,73 @@ def subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 shape — minimum-cost supplier per part (correlated min)
+# --------------------------------------------------------------------------
+_Q2_SQL = """
+    SELECT DISTINCT p.p_partkey, s.s_suppkey, round(s.s_acctbal, 2) AS acctbal
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size < 20
+      AND s.s_acctbal = (SELECT min(s2.s_acctbal)
+                         FROM supplier s2
+                         JOIN lineitem l2 ON l2.l_suppkey = s2.s_suppkey
+                         WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@query("q2_mincost", oracle=_Q2_SQL)
+def q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-acctbal supplier via a
+    correlated MIN subquery (Catalyst decorrelates to agg + join)."""
+    prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q11 shape — groups exceeding a share of a global aggregate
+# --------------------------------------------------------------------------
+_Q11_SQL = """
+    SELECT s_nationkey, round(sum(s_acctbal), 2) AS nation_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    HAVING sum(s_acctbal) > (SELECT sum(s_acctbal) * 0.08 FROM supplier)
+"""
+
+
+@query("q11_threshold", oracle=_Q11_SQL)
+def q11_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a global-scalar subquery."""
+    prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q22 shape — above-average balances with no orders
+# --------------------------------------------------------------------------
+_Q22_SQL = """
+    SELECT c.c_nationkey, count(*) AS n_custs,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 400000)
+    GROUP BY c.c_nationkey
+"""
+
+
+@query("q22_noorders", oracle=_Q22_SQL)
+def q22_noorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + predicated
+    NOT EXISTS (anti join) + group aggregation. (Every customer has
+    at least one order in this testdata, so the anti-join predicate
+    is on big orders rather than order existence.)"""
+    prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
