@@ -81,3 +81,90 @@ def test_stateful_apply_in_pandas_with_state(spark):
         .collect()
     }
     assert final == batch
+
+
+def test_stream_stream_join_converges(spark):
+    """T7 full form: watermarked stream-stream inner join (views ⋈
+    purchases per user within [t_view, t_view+1h]) must converge to
+    the batch interval-join answer on replay."""
+    from etl_framework_spark.streaming.harness import events_stream
+
+    def batch_pairs():
+        ev = table(spark, SF_SMALL, "events").withColumn(
+            "tts", F.date_trunc("second", F.col("ts"))
+        )
+        v = ev.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("vid"), F.col("user_id").alias("vu"), F.col("tts").alias("vt")
+        )
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("tts").alias("pt")
+        )
+        return v.join(
+            p,
+            (F.col("vu") == F.col("pu"))
+            & (F.col("pt") >= F.col("vt"))
+            & (F.col("pt") < F.col("vt") + F.expr("INTERVAL 1 HOUR")),
+        ).select("vid", "pid")
+
+    import uuid
+
+    src = events_stream(spark, SF_SMALL).withColumn(
+        "tts", F.date_trunc("second", F.col("ts"))
+    )
+    v = (
+        src.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("vid"), F.col("user_id").alias("vu"), F.col("tts").alias("vt"))
+        .withWatermark("vt", "2 hours")
+    )
+    p = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("tts").alias("pt"))
+        .withWatermark("pt", "2 hours")
+    )
+    joined = v.join(
+        p,
+        (F.col("vu") == F.col("pu"))
+        & (F.col("pt") >= F.col("vt"))
+        & (F.col("pt") < F.col("vt") + F.expr("INTERVAL 1 HOUR")),
+    ).select("vid", "pid")
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.vid, r.pid) for r in spark.table(name).collect()}
+    want = {(r.vid, r.pid) for r in batch_pairs().collect()}
+    assert got == want and len(want) > 0
+
+
+def test_rate_source_smoke(spark):
+    """S8: the rate source produces rows through the streaming engine."""
+    import uuid
+
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        import time
+
+        deadline = time.time() + 20
+        while spark.table(name).count() == 0 and time.time() < deadline:
+            time.sleep(0.5)
+            q.processAllAvailable()
+        assert spark.table(name).count() > 0
+        cols = set(spark.table(name).columns)
+        assert cols == {"timestamp", "value"}
+    finally:
+        q.stop()
