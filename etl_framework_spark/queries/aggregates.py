@@ -229,17 +229,25 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT c_nationkey)) AS nations
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
+           CAST(len(list(DISTINCT c_nationkey)) AS INT) AS n_nations
     FROM customer GROUP BY c_mktsegment
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collect-to-array (A7), sorted so the value is deterministic."""
+    """Collect-to-array (A7), sorted for determinism. The array is
+    serialized to a joined string for the comparator: DuckDB's pandas
+    bridge yields numpy arrays where Spark yields lists, so a raw
+    array column is a value-representation hazard for any hasher."""
     prep(spark)
+    collected = F.sort_array(F.collect_set("c_nationkey"))
     return (
         table(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
-        .agg(F.sort_array(F.collect_set("c_nationkey")).alias("nations"))
+        .agg(
+            F.array_join(collected, ",").alias("nations"),
+            F.size(collected).alias("n_nations"),
+        )
     )
 
 
