@@ -169,3 +169,34 @@ def win_null_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("totalprice"),
         F.row_number().over(w).alias("rn"),
     )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           if(o_totalprice > 200000, 'big', 'small') AS sz,
+           coalesce(nullif(o_orderstatus, 'P'), 'pending') AS st,
+           ifnull(nullif(o_orderpriority, '5-LOW'), 'LOW') AS pri,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE -1 END AS f_price,
+           greatest(o_totalprice, 100000.0) AS floor_price,
+           isnan(o_totalprice / 1.0) AS is_nan
+    FROM orders
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null-handling family (P3/F widening): if, nullif,
+    coalesce/ifnull, CASE, greatest, isnan."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("if(o_totalprice > 200000, 'big', 'small')").alias("sz"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("pending")).alias("st"),
+        F.ifnull(F.nullif("o_orderpriority", F.lit("5-LOW")), F.lit("LOW")).alias("pri"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+        .otherwise(-1.0)
+        .alias("f_price"),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("floor_price"),
+        F.isnan(F.col("o_totalprice") / 1.0).alias("is_nan"),
+    )

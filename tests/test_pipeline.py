@@ -112,3 +112,53 @@ def test_streaming_source_spec(spark):
         },
     )
     assert src.isStreaming
+
+
+def test_pipeline_composes_llm_dedup(spark):
+    """E1 composing an LLM op: a spec-driven pipeline that normalizes,
+    exact-dedups (keep earliest per normalized hash), quality-filters,
+    and sinks — the reference-style declarative ETL over the LLM
+    operator vocabulary."""
+    spec = {
+        "sources": {
+            "documents": {"format": "parquet", "path": f"{SF_SMALL}/documents.parquet"}
+        },
+        "steps": [
+            {
+                "name": "normed",
+                "input": "documents",
+                "op": "with_columns",
+                "args": {
+                    "columns": {
+                        "norm_hash": (
+                            "sha2(regexp_replace(lower(trim(text)), '\\\\s+', ' '), 256)"
+                        )
+                    }
+                },
+            },
+            {
+                "name": "deduped",
+                "input": "normed",
+                "op": "dedup",
+                "args": {"keys": ["norm_hash"], "order_by": ["doc_id"]},
+            },
+            {
+                "name": "quality",
+                "input": "deduped",
+                "op": "filter",
+                "args": {"condition": "n_chars BETWEEN 100 AND 450 AND lang IN ('en','es','de')"},
+            },
+        ],
+        "sinks": [{"input": "quality", "format": "view", "name": "clean_docs"}],
+    }
+    from etl_framework_spark.pipeline import run_pipeline
+
+    rel = run_pipeline(spark, spec)
+    n_docs = rel["documents"].count()
+    n_clean = spark.table("clean_docs").count()
+    assert 0 < n_clean <= n_docs
+    # dedup kept at most one row per hash
+    assert (
+        spark.table("clean_docs").groupBy("norm_hash").count().filter("count > 1").count()
+        == 0
+    )
