@@ -162,3 +162,67 @@ def test_pipeline_composes_llm_dedup(spark):
         spark.table("clean_docs").groupBy("norm_hash").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_orc_roundtrip(spark):
+    """S-family: ORC source/sink round-trip."""
+    df = table(spark, SF_SMALL, "region")
+    write_sink(df, {"format": "orc", "path": f"{SCRATCH}/region_orc"})
+    back = read_source(spark, {"format": "orc", "path": f"{SCRATCH}/region_orc"})
+    assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
+
+
+def test_pipeline_remaining_ops(spark):
+    """Exercise every registered op not covered elsewhere: select,
+    with_columns, drop, window, distinct, union, order_by, limit,
+    repartition."""
+    spec = {
+        "sources": {
+            "orders": {"format": "parquet", "path": f"{SF_SMALL}/orders.parquet"}
+        },
+        "steps": [
+            {"name": "proj", "input": "orders", "op": "select",
+             "args": {"exprs": ["o_orderkey", "o_orderstatus", "o_totalprice"]}},
+            {"name": "w", "input": "proj", "op": "window",
+             "args": {"columns": {"rn": (
+                 "row_number() OVER (PARTITION BY o_orderstatus "
+                 "ORDER BY o_totalprice DESC, o_orderkey)")}}},
+            {"name": "top", "input": "w", "op": "filter",
+             "args": {"condition": "rn <= 5"}},
+            {"name": "slim", "input": "top", "op": "drop", "args": {"columns": ["rn"]}},
+            {"name": "doubled", "input": "slim", "op": "union",
+             "args": {"right": "slim"}},
+            {"name": "uniq", "input": "doubled", "op": "distinct"},
+            {"name": "sorted", "input": "uniq", "op": "order_by",
+             "args": {"exprs": ["o_totalprice DESC", "o_orderkey"]}},
+            {"name": "limited", "input": "sorted", "op": "limit", "args": {"n": 10}},
+            {"name": "parts", "input": "limited", "op": "repartition",
+             "args": {"num": 2, "by": ["o_orderstatus"]}},
+        ],
+    }
+    from etl_framework_spark.pipeline import run_pipeline
+
+    rel = run_pipeline(spark, spec)
+    assert rel["top"].count() == 15       # 3 statuses × top-5
+    assert rel["uniq"].count() == 15      # union-with-self deduped
+    assert rel["limited"].count() == 10
+    assert rel["parts"].rdd.getNumPartitions() == 2
+    # window op produced the same top-5 as a direct window query
+    from pyspark.sql import Window as W
+
+    direct = (
+        table(spark, SF_SMALL, "orders")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("o_orderstatus").orderBy(
+                    F.col("o_totalprice").desc(), F.col("o_orderkey")
+                )
+            ),
+        )
+        .filter("rn <= 5")
+        .select("o_orderkey")
+    )
+    assert {r.o_orderkey for r in rel["top"].collect()} == {
+        r.o_orderkey for r in direct.collect()
+    }
