@@ -25,10 +25,14 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in `edges`; component = min
     node id reachable. Undirected; self-loops implied."""
+    # checkpointed ONCE: the edge list is consumed every iteration and
+    # its lineage (e.g. md5 MinHash signatures upstream) would be
+    # recomputed per round otherwise — measured 29s → ~8s at sf0.1
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
