@@ -177,3 +177,87 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
     )
+
+
+@query(
+    "llm_pmi",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    n_uni AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+    t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    bi AS (SELECT unnest(list_transform(generate_series(1, greatest(len(l) - 1, 1)),
+                  i -> concat_ws(' ', l[i], l[i+1]))) AS bg
+           FROM t),
+    bic AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg),
+    n_bi AS (SELECT CAST(sum(cb) AS DOUBLE) AS nb FROM bic)
+    SELECT bg,
+           cb,
+           round(ln((cb / n_bi.nb)
+                    / ((ua.c / n_uni.n) * (ub.c / n_uni.n))), 6) AS pmi
+    FROM bic
+    JOIN uni ua ON ua.tok = split_part(bg, ' ', 1)
+    JOIN uni ub ON ub.tok = split_part(bg, ' ', 2)
+    CROSS JOIN n_uni CROSS JOIN n_bi
+    WHERE cb >= 20
+    """,
+)
+def llm_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of bigrams (L4): collocation
+    scoring — ln(P(ab) / (P(a)·P(b))) with unigram/bigram counts as
+    broadcast-sized statistics, bounded to bigrams seen ≥ 20 times."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n_uni = uni.agg(F.sum("c").cast("double").alias("n"))
+    t = docs.select(tokens("text").alias("l"))
+    bi = t.select(F.explode(shingles("l", 2)).alias("bg"))
+    bic = bi.groupBy("bg").agg(F.count("*").alias("cb")).filter(F.col("cb") >= 20)
+    n_bi = bi.agg(F.count("*").cast("double").alias("nb"))
+    ua = uni.select(F.col("tok").alias("t_a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("t_b"), F.col("c").alias("cb_u"))
+    return (
+        bic.withColumn("t_a", F.expr("split_part(bg, ' ', 1)"))
+        .withColumn("t_b", F.expr("split_part(bg, ' ', 2)"))
+        .join(F.broadcast(ua), "t_a")
+        .join(F.broadcast(ub), "t_b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "bg",
+            "cb",
+            F.round(
+                F.log(
+                    (F.col("cb") / F.col("nb"))
+                    / ((F.col("ca") / F.col("n")) * (F.col("cb_u") / F.col("n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "llm_length_hist",
+    oracle="""
+    SELECT CAST(floor((n_chars - 0) / 50.0) AS INT) AS bucket,
+           CAST(floor((n_chars - 0) / 50.0) AS INT) * 50 AS bucket_lo,
+           count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def llm_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (L4/quality): fixed-width 50-char
+    buckets — the data-quality profile every corpus pipeline starts
+    with; one partial-aggregating hash shuffle."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.floor((F.col("n_chars") - 0) / 50.0).cast("int")
+    return docs.groupBy(bucket.alias("bucket")).agg(
+        (F.first(bucket) * 50).alias("bucket_lo"),
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
