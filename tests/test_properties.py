@@ -154,3 +154,78 @@ def test_quantile_approx_tolerance(spark):
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(  # batches of (key, value) updates applied sequentially
+        st.lists(st.tuples(st.integers(0, 3), st.integers(0, 2)), min_size=1, max_size=4),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_scd2_sequential_batches_invariants(spark_global, batches):
+    """SCD2 applied over any sequence of update batches keeps exactly
+    one current row per live key, and the current value equals the
+    last distinct update for that key."""
+    import datetime as dt
+
+    from etl_framework_spark.operators.cdc import scd2_apply
+
+    spark = spark_global
+    dim = spark.createDataFrame(
+        [(0, "v0", dt.datetime(2000, 1, 1), None)],
+        "k int, v string, eff_from timestamp, eff_to timestamp",
+    )
+    expect = {0: "v0"}
+    for i, batch in enumerate(batches):
+        upd = {}
+        for k, vi in batch:
+            upd[k] = f"v{vi}"
+        updf = spark.createDataFrame(list(upd.items()), "k int, v string")
+        ts = F.lit(f"200{i + 1}-01-01").cast("timestamp")
+        dim = scd2_apply(dim, updf, "k", ["v"], ts)
+        expect.update(upd)
+    rows = dim.collect()
+    current = {r.k: r.v for r in rows if r.eff_to is None}
+    assert current == expect
+    # one current row per key, and intervals never invert
+    from collections import Counter
+
+    cnt = Counter(r.k for r in rows if r.eff_to is None)
+    assert all(c == 1 for c in cnt.values())
+    assert all(r.eff_to is None or r.eff_to >= r.eff_from for r in rows)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 5000), min_size=1, max_size=40)  # event seconds
+)
+def test_session_window_matches_gap_reference(spark_global, secs):
+    """Spark session_window == a per-key gap-scan reference (inclusive
+    merge at exactly `gap`, end = last + gap) on generated times."""
+    import datetime as dt
+
+    spark = spark_global
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(seconds=s)) for s in sorted(set(secs))]
+    df = spark.createDataFrame(rows, "user_id int, tts timestamp")
+    gap = 600  # 10 minutes
+    got = {
+        (r.sw.start, r.sw.end, r["count"])
+        for r in df.groupBy(F.session_window("tts", "10 minutes").alias("sw"))
+        .count()
+        .collect()
+    }
+    # reference: linear scan with inclusive gap merge
+    want = set()
+    times = [t for _, t in rows]
+    start, last, n = times[0], times[0], 1
+    for t in times[1:]:
+        if (t - last).total_seconds() <= gap:
+            last, n = t, n + 1
+        else:
+            want.add((start, last + dt.timedelta(seconds=gap), n))
+            start, last, n = t, t, 1
+    want.add((start, last + dt.timedelta(seconds=gap), n))
+    assert got == want
