@@ -84,3 +84,78 @@ def fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sequence(F.lit(1), F.size("l") % 4 + 1), "-").alias("seq_str"),
         F.array_join(F.slice(F.reverse(F.col("l")), 1, 3), " ").alias("last3_rev"),
     )
+
+
+@query(
+    "fn_math2",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sin(l_discount), 6) AS sn,
+           round(cos(l_discount), 6) AS cs,
+           round(tan(l_discount), 6) AS tn,
+           round(asin(l_discount), 6) AS asn,
+           round(acos(l_discount), 6) AS acs,
+           round(atan(l_quantity), 6) AS atn,
+           round(atan2(l_quantity, l_extendedprice), 6) AS at2,
+           round(degrees(l_discount), 6) AS deg,
+           round(radians(l_quantity), 6) AS rad,
+           round(log2(l_extendedprice), 6) AS lg2,
+           round(cbrt(l_extendedprice), 6) AS cb,
+           round(sqrt(l_quantity * l_quantity
+                      + l_extendedprice * l_extendedprice), 6) AS hyp,
+           round(exp(l_discount) - 1, 6) AS em1,
+           round(ln(1 + l_discount), 6) AS l1p
+    FROM lineitem
+    """,
+)
+def fn_math2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family, wave 2 (F3): trigonometry, atan2, angle
+    conversions, log2/cbrt, hypot (emulated in the oracle — DuckDB
+    lacks hypot), expm1/log1p. All libm-backed → rounded to 6dp."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    d, q, p = F.col("l_discount"), F.col("l_quantity"), F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(d), 6).alias("sn"),
+        F.round(F.cos(d), 6).alias("cs"),
+        F.round(F.tan(d), 6).alias("tn"),
+        F.round(F.asin(d), 6).alias("asn"),
+        F.round(F.acos(d), 6).alias("acs"),
+        F.round(F.atan(q), 6).alias("atn"),
+        F.round(F.atan2(q, p), 6).alias("at2"),
+        F.round(F.degrees(d), 6).alias("deg"),
+        F.round(F.radians(q), 6).alias("rad"),
+        F.round(F.log2(p), 6).alias("lg2"),
+        F.round(F.cbrt(p), 6).alias("cb"),
+        F.round(F.hypot(q, p), 6).alias("hyp"),
+        F.round(F.expm1(d), 6).alias("em1"),
+        F.round(F.log1p(d), 6).alias("l1p"),
+    )
+
+
+@query(
+    "fn_date3",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS year_start
+    FROM orders
+    """,
+)
+def fn_date3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family, wave 3 (F2): week/quarter/year truncation (both
+    engines start weeks on Monday) and ISO day-of-week."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("week", d).alias("week_start"),
+        F.date_trunc("quarter", d).alias("quarter_start"),
+        F.expr("weekday(o_orderdate) + 1").alias("iso_dow"),
+        F.date_trunc("year", d).alias("year_start"),
+    )
