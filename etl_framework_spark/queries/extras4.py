@@ -200,3 +200,42 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("o_totalprice", F.lit(100000.0)).alias("floor_price"),
         F.isnan(F.col("o_totalprice") / 1.0).alias("is_nan"),
     )
+
+
+@query(
+    "agg_stats2",
+    oracle="""
+    SELECT l_returnflag,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+           round(skewness(l_quantity) * (count(*) - 2)
+                 / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew_pop,
+           round((kurtosis(l_quantity) * (count(*) - 2.0) * (count(*) - 3)
+                  / (count(*) - 1.0) - 6) / (count(*) + 1.0), 6) AS kurt_pop
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics, wave 2 (A9): covariance, linear
+    regression aggregates, skewness and excess kurtosis. Spark reports
+    POPULATION skewness/kurtosis while DuckDB reports sample-adjusted
+    (Fisher G1/G2) — the oracle converts with the exact n-dependent
+    factors (verified to reproduce Spark bit-for-bit pre-rounding)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_s"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("cov_p"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+        F.expr("regr_count(l_extendedprice, l_quantity)").alias("n_pairs"),
+        F.round(F.skewness("l_quantity"), 6).alias("skew_pop"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_pop"),
+    )
