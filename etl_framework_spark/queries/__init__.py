@@ -21,6 +21,7 @@ for _m in [
     "extras2",
     "corpus",
     "tpch_like",
+    "tpch_like2",
     "cdc_q",
     "extras3",
     "extras4",
