@@ -62,3 +62,46 @@ def test_window_group_limit_pushdown(spark):
     """W6: Spark pushes rank<=k into the sort (WindowGroupLimit) so
     partitions never hold more than k rows per key."""
     assert_in_plan(_q(spark, "win_topk_group"), "WindowGroupLimit")
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 shape: every filter must reach the parquet scan and the
+    read schema must be only the four referenced columns."""
+    plan = assert_in_plan(_q(spark, "q6_forecast"), "PushedFilters: [")
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" not in read_schema  # unused columns pruned
+    assert "l_discount" in read_schema
+
+
+def test_q5_dims_broadcast(spark):
+    """Q5 shape: nation/region dims ride broadcast exchanges."""
+    assert_in_plan(_q(spark, "q5_local"), "BroadcastExchange")
+
+
+def test_q4_exists_plans_semi_join(spark):
+    """Q4 shape: the EXISTS subquery must decorrelate to a semi join
+    (no per-row rescans of lineitem)."""
+    assert_in_plan(_q(spark, "q4_priority"), "LeftSemi")
+
+
+def test_q17_correlated_avg_decorrelates(spark):
+    """Q17 shape: the correlated per-part AVG must become an
+    aggregate joined back on partkey — one pass over lineitem, no
+    nested-loop re-evaluation."""
+    assert_in_plan(
+        _q(spark, "q17_smallqty"),
+        "HashAggregate",
+        absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+
+
+def test_q21_no_rescan_formulation(spark):
+    """Q21 shape: the per-order aggregate rewrite must plan as hash
+    aggregations + equi-joins only (the whole point of avoiding the
+    correlated EXISTS/NOT-EXISTS form at 100 TB)."""
+    plan = assert_in_plan(
+        _q(spark, "q21_waiting"),
+        "HashAggregate",
+        absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+    assert plan.count("HashAggregate") >= 4  # two partial+final agg pairs
