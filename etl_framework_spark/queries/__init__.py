@@ -22,6 +22,7 @@ for _m in [
     "corpus",
     "tpch_like",
     "tpch_like2",
+    "training",
     "cdc_q",
     "extras3",
     "extras4",

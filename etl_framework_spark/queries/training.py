@@ -1,0 +1,210 @@
+"""Training-data pipeline operators (north star, beyond SURVEY §2.11):
+the dataset-assembly steps an LLM training pipeline runs after
+dedup/quality filtering — deterministic splits, sequence packing,
+mixture weighting, and eval-contamination checks. All four are exact
+DuckDB-oracle-checked and shuffle-minimal:
+
+- train_split: multiplicative-hash bucketing — pure arithmetic on the
+  key, no RNG, so the split is reproducible across engines, runs, and
+  partitionings (seeded `sample()` is engine-specific; a hash split is
+  the only portable way to split 100 TB consistently).
+- pack_sequences: greedy contiguous packing of documents into
+  fixed-token-budget bins = one window cumsum per source partition +
+  one partial-agg shuffle. No per-bin state, no driver loop.
+- mix_weights: temperature-scaled (alpha=0.5) source mixture weights —
+  one tiny aggregate, scalar total broadcast.
+- llm_contamination: word-5-gram overlap between an eval slice and the
+  training corpus — shingle explode + equi-join on the shingle string,
+  so candidate pairs only materialize where actual n-gram collisions
+  exist (never an all-pairs comparison).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_framework_spark.catalog import table
+from etl_framework_spark.registry import query
+from etl_framework_spark.session import prep
+
+# Knuth's multiplicative hash constant; bucket space is 2^32 and the
+# train share is floor(0.9 * 2^32). doc_id * K stays far below int64
+# overflow at any realistic doc count (K * 1e12 < 2^63).
+_K = 2654435761
+_MOD = 4294967296
+_TRAIN_LT = 3865470566  # floor(0.9 * 2^32)
+
+
+@query(
+    "train_split",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN (doc_id * {_K}) % {_MOD} < {_TRAIN_LT}
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, split
+    """,
+)
+def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split via multiplicative hashing
+    of doc_id — reproducible across engines and partitionings, unlike
+    seeded sampling. Returns the per-(lang, split) profile."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_K)) % F.lit(_MOD)
+    return (
+        d.select(
+            "lang",
+            F.when(bucket < _TRAIN_LT, "train").otherwise("test").alias("split"),
+            "n_chars",
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS c
+      FROM toks
+    )
+    SELECT source,
+           CAST(floor((c - n_tok) / 256.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+    FROM cum
+    GROUP BY source, bin
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: documents stream in doc_id
+    order per source; each lands in bin floor(prefix_tokens / 256).
+    One window shuffle per source partition — no per-bin state, no
+    driver loop — so packing 100 TB is one sort within partitions."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = toks.withColumn("c", F.sum("n_tok").over(w))
+    return (
+        cum.select(
+            "source",
+            F.floor((F.col("c") - F.col("n_tok")) / F.lit(256.0))
+            .cast("bigint")
+            .alias("bin"),
+            "n_tok",
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        )
+    )
+
+
+@query(
+    "mix_weights",
+    oracle="""
+    WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+    SELECT lang,
+           CAST(n AS BIGINT) AS n_docs,
+           round(pow(n, 0.5) / (SELECT sum(pow(n, 0.5)) FROM cnt), 6) AS weight
+    FROM cnt
+    """,
+)
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per language (alpha = 0.5,
+    the standard rebalancing exponent): weight_i = n_i^0.5 / sum_j
+    n_j^0.5. The denominator is a one-row aggregate broadcast to the
+    (tiny) per-lang table."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = cnt.agg(F.sum(F.pow(F.col("n"), 0.5)).alias("t"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.round(F.pow(F.col("n"), 0.5) / F.col("t"), 6).alias("weight"),
+    )
+
+
+@query(
+    "llm_contamination",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, source, toks,
+             unnest(generate_series(1, len(toks) - 4)) AS i
+      FROM docs WHERE len(toks) >= 5
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(toks[i:i+4], ' ') AS shingle
+      FROM pos
+    ),
+    ev AS (SELECT doc_id, shingle FROM sh WHERE source = 'src0'),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0')
+    SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+           CAST(count(*) AS BIGINT) AS shared
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY train_doc, eval_doc
+    HAVING count(*) >= 3
+    """,
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: treat source src0 as the eval
+    set and find training documents sharing >= 3 distinct word
+    5-grams with any eval document. Candidates come from an equi-join
+    on the shingle string — pairs materialize only on real n-gram
+    collisions, never via all-pairs comparison; the per-doc DISTINCT
+    keeps hot shingles from multiplying within a document."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "source", F.split(F.col("text"), " ").alias("toks"))
+    sh = (
+        docs.filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 4),"
+                    " i -> array_join(slice(toks, i, 5), ' '))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    ev = sh.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    tr = sh.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    return (
+        tr.join(ev, "shingle")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 3)
+        .select("train_doc", "eval_doc", "shared")
+    )
