@@ -26,6 +26,7 @@ for _m in [
     "cdc_q",
     "extras3",
     "extras4",
+    "extras5",
 ]:
     try:
         __import__(f"etl_framework_spark.queries.{_m}")

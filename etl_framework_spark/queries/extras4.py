@@ -239,3 +239,39 @@ def agg_stats2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_quantity"), 6).alias("skew_pop"),
         F.round(F.kurtosis("l_quantity"), 6).alias("kurt_pop"),
     )
+
+
+@query(
+    "fn_binary",
+    oracle="""
+    SELECT p_partkey,
+           base64(encode(p_name)) AS b64,
+           decode(from_base64(base64(encode(p_name)))) AS b64_rt,
+           hex(p_name) AS hx,
+           decode(unhex(hex(encode(p_name)))) AS hex_rt,
+           to_hex(p_partkey) AS key_hex,
+           CAST(octet_length(encode(p_name)) AS INT) AS olen,
+           CAST(octet_length(encode(p_name)) * 8 AS INT) AS blen
+    FROM part
+    """,
+)
+def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding family (F7 adjunct): base64/unbase64 and
+    hex/unhex roundtrips, numeric-to-hex, octet/bit length. String ↔
+    binary boundaries are explicit casts on the Spark side and
+    encode()/decode() on the DuckDB side; bit_length is pinned as
+    octet_length*8 in the oracle (DuckDB's VARCHAR bit_length counts
+    an escaped rendering of the blob, not its bytes)."""
+    prep(spark)
+    p = table(spark, sf_dir, "part")
+    name_bin = F.col("p_name").cast("binary")
+    return p.select(
+        "p_partkey",
+        F.base64(name_bin).alias("b64"),
+        F.unbase64(F.base64(name_bin)).cast("string").alias("b64_rt"),
+        F.hex(F.col("p_name")).alias("hx"),
+        F.unhex(F.hex(F.col("p_name"))).cast("string").alias("hex_rt"),
+        F.hex(F.col("p_partkey")).alias("key_hex"),
+        F.octet_length("p_name").alias("olen"),
+        F.bit_length("p_name").alias("blen"),
+    )

@@ -1,0 +1,112 @@
+"""Fifth-wave coverage: deterministic mode, URL parsing, and calendar
+densification (temporal gap-fill) — the remaining everyday-ETL shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_framework_spark.catalog import table
+from etl_framework_spark.registry import query
+from etl_framework_spark.session import prep
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    r AS (
+      SELECT l_returnflag, l_quantity, n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, l_quantity) AS rk
+      FROM c
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, CAST(n AS BIGINT) AS n_occurs
+    FROM r WHERE rk = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode per group: most frequent value with a
+    smallest-value tiebreak. Built as count + top-1 window instead of
+    the native mode() aggregate, whose tie choice is engine-dependent
+    — the composition is portable and plans as two partial-agg
+    shuffles plus a WindowGroupLimit."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("n"))
+    w = W.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "l_quantity")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").alias("n_occurs"),
+        )
+    )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           lang AS qparam
+    FROM documents
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (F1 adjunct): build a URL from columns, then take
+    it apart with parse_url (HOST / PATH / QUERY-with-key). The oracle
+    reconstructs the ground truth directly from the source columns, so
+    any parse_url deviation fails the hash."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?k="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("k")).alias("qparam"),
+    )
+
+
+@query(
+    "cal_densify",
+    oracle="""
+    SELECT o_orderkey,
+           unnest(generate_series(o_orderdate,
+                                  o_orderdate + INTERVAL 3 DAY,
+                                  INTERVAL 1 DAY)) AS day
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    """,
+)
+def cal_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification / gap-fill: explode each order into one
+    row per day of a 4-day horizon via sequence() — the building block
+    for as-of backfills and daily snapshots. Generation is per-row
+    (no join against a calendar table, no shuffle)."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.explode(
+            F.expr(
+                "sequence(o_orderdate, o_orderdate + INTERVAL 3 DAY,"
+                " INTERVAL 1 DAY)"
+            )
+        ).alias("day"),
+    )
