@@ -168,3 +168,63 @@ def test_rate_source_smoke(spark):
         assert cols == {"timestamp", "value"}
     finally:
         q.stop()
+
+
+def test_stateful_transform_with_state(spark):
+    """T6 (Spark 4 API): per-user running counters via
+    transformWithStateInPandas + a StatefulProcessor — the successor
+    to applyInPandasWithState, backed by the RocksDB state store."""
+    try:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+        # the TWS state-server protocol needs a functional protobuf
+        # runtime in the Python worker; absent -> worker crash
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas needs protobuf runtime")
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        def transform(ev):
+            return ev.groupBy("user_id").transformWithStateInPandas(
+                CountProcessor(),
+                outputStructType="user_id bigint, n_events bigint",
+                outputMode="Update",
+                timeMode="None",
+            )
+
+        stream = replay_events(spark, SF_SMALL, transform, "update")
+        final = {r.user_id: r.n_events for r in stream.collect()}
+        batch = {
+            r.user_id: r.n
+            for r in table(spark, SF_SMALL, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert final == batch
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
