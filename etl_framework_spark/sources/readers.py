@@ -9,9 +9,10 @@ the same surface as spec dicts:
      "options": {...},              # passed through to the reader
      "stream": true}                # readStream instead of read
 
-JDBC has no server in this environment: the code path exists and is
-argument-validated, but network reads are untested here (SURVEY.md §7
-non-goals).
+JDBC is tested against the embedded Derby engine Spark ships in its
+jars (in-JVM, no network): tests/test_jdbc.py round-trips a table
+through `jdbc:derby:memory:` with partitioned parallel reads. Remote
+JDBC servers remain untested in this environment (SURVEY.md §7).
 """
 
 from __future__ import annotations
@@ -57,6 +58,21 @@ def write_sink(df: DataFrame, spec: dict[str, Any]) -> None:
     fmt = spec.get("format", "parquet")
     if fmt == "view":  # in-memory sink: register for downstream consumers
         df.createOrReplaceTempView(spec["name"])
+        return
+    if fmt == "jdbc":
+        required = {"url", "dbtable"}
+        missing = required - set(spec)
+        if missing:
+            raise ValueError(f"jdbc sink missing {sorted(missing)}")
+        writer = (
+            df.write.format("jdbc")
+            .mode(spec.get("mode", "overwrite"))
+            .option("url", spec["url"])
+            .option("dbtable", spec["dbtable"])
+        )
+        for k, v in dict(spec.get("options", {})).items():
+            writer = writer.option(k, v)
+        writer.save()
         return
     if fmt not in _FILE_FORMATS:
         raise ValueError(f"unsupported sink format {fmt!r}")
