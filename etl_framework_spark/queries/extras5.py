@@ -110,3 +110,63 @@ def cal_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("day"),
     )
+
+
+@query(
+    "fn_decimal",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS sum_price,
+           min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price,
+           max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal money math (SURVEY §1.3): cast the double prices
+    to DECIMAL(18,2) once at the scan, aggregate in decimal (exact, no
+    float drift), cast the widened sum back to the declared scale.
+    Half-way rounding never diverges between engines here because no
+    binary double lands exactly on a .xx5 boundary."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("decimal(18,2)").alias("sum_price"),
+        F.min(price).alias("min_price"),
+        F.max(price).alias("max_price"),
+        F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
+    )
+
+
+@query(
+    "fn_try",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - l_linenumber = 0 THEN NULL
+                ELSE l_quantity / (l_linenumber - l_linenumber) END AS div0,
+           TRY_CAST(l_returnflag AS INTEGER) AS bad_parse,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS good_parse
+    FROM lineitem
+    WHERE l_orderkey % 101 = 0
+    """,
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family: try_divide by zero and try_cast
+    of unparseable strings yield NULL instead of failing the job — the
+    behavior a 100 TB pipeline needs (one dirty row must not kill a
+    stage). Oracle expresses the same semantics with CASE/TRY_CAST."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("try_divide(l_quantity, l_linenumber - l_linenumber)").alias("div0"),
+        F.expr("try_cast(l_returnflag AS int)").alias("bad_parse"),
+        F.expr("try_cast(cast(l_linenumber AS string) AS int)").alias("good_parse"),
+    )
