@@ -27,6 +27,7 @@ for _m in [
     "extras3",
     "extras4",
     "extras5",
+    "extras6",
 ]:
     try:
         __import__(f"etl_framework_spark.queries.{_m}")
