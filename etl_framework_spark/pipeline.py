@@ -123,7 +123,19 @@ def _merge_upsert(df: DataFrame, right: DataFrame, key: str) -> DataFrame:
 
 @op("order_by")
 def _order_by(df: DataFrame, exprs: list[str]) -> DataFrame:
-    return df.orderBy(*[F.expr(e) for e in exprs])
+    """Sort expressions with optional trailing ASC/DESC. The suffix
+    must be split off before F.expr: ``expr("revenue DESC")`` parses
+    DESC as a column *alias* (bare-alias syntax) and silently sorts
+    ascending."""
+    cols = []
+    for e in exprs:
+        parts = e.rsplit(None, 1)
+        if len(parts) == 2 and parts[1].upper() in ("ASC", "DESC"):
+            col = F.expr(parts[0])
+            cols.append(col.desc() if parts[1].upper() == "DESC" else col.asc())
+        else:
+            cols.append(F.expr(e))
+    return df.orderBy(*cols)
 
 
 @op("limit")
@@ -200,3 +212,30 @@ class Pipeline:
 
 def run_pipeline(spark: SparkSession, spec: dict[str, Any]) -> dict[str, DataFrame]:
     return Pipeline(spec).run(spark)
+
+
+def load_spec(path: str) -> dict[str, Any]:
+    """Load a job spec from a JSON or YAML config file — the
+    reference family's surface: ETL jobs are declared in config files
+    (feed/job definitions), not code. YAML requires pyyaml (present
+    in this environment; JSON always works)."""
+    import json
+
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yml", ".yaml")):
+        try:
+            import yaml
+        except ImportError as e:  # pragma: no cover - pyyaml is installed here
+            raise ValueError(f"{path}: YAML specs require pyyaml") from e
+        spec = yaml.safe_load(text)
+    else:
+        spec = json.loads(text)
+    if not isinstance(spec, dict):
+        raise ValueError(f"{path}: job spec must be a mapping, got {type(spec)}")
+    return spec
+
+
+def run_pipeline_file(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Compile and run a config-file job end-to-end (E1)."""
+    return run_pipeline(spark, load_spec(path))

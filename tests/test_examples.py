@@ -1,0 +1,49 @@
+"""The example config-file jobs in examples/ must run end-to-end
+through load_spec + run_pipeline_file (the reference family's
+config-declared-job surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_framework_spark.pipeline import load_spec, run_pipeline_file
+
+EXAMPLES = "/root/repo/examples"
+
+
+def test_yaml_star_join_job(spark):
+    rel = run_pipeline_file(spark, f"{EXAMPLES}/revenue_by_nation.yaml")
+    out = spark.table("example_top_nations")
+    assert out.columns == ["nation", "revenue", "n_orders"]
+    rows = out.collect()
+    assert len(rows) > 0
+    assert rows[0].revenue == max(r.revenue for r in rows)  # ordered desc
+    # the intermediate relations are all addressable
+    assert {"recent_orders", "revenue", "top_nations"} <= set(rel)
+
+
+def test_json_quality_dedup_job(spark):
+    rel = run_pipeline_file(spark, f"{EXAMPLES}/doc_quality_dedup.json")
+    prof = spark.table("example_corpus_profile")
+    assert set(prof.columns) == {"source", "lang", "n_docs", "total_tokens"}
+    langs = {r.lang for r in prof.select("lang").distinct().collect()}
+    assert langs <= {"en", "es", "de", "fr"}  # zh filtered by the quality gate
+    # dedup keeps at most one row per normalized text
+    dups = (
+        rel["deduped"]
+        .groupBy("norm_text")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0
+
+
+def test_load_spec_rejects_non_mapping(tmp_path):
+    p = tmp_path / "bad.json"
+    p.write_text("[1, 2, 3]")
+    try:
+        load_spec(str(p))
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "mapping" in str(e)
