@@ -105,3 +105,46 @@ def test_q21_no_rescan_formulation(spark):
         absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
     )
     assert plan.count("HashAggregate") >= 4  # two partial+final agg pairs
+
+
+def test_partitioned_sink_static_pruning(spark, tmp_path):
+    """S5 at scale: a partitionBy-written dataset filtered on the
+    partition column must prune at planning time (PartitionFilters),
+    never scan-and-discard."""
+    from etl_framework_spark.catalog import table
+    from etl_framework_spark.plans import explain_str
+
+    path = str(tmp_path / "li_by_flag")
+    table(spark, SF_SMALL, "lineitem").write.mode("overwrite").partitionBy(
+        "l_returnflag"
+    ).parquet(path)
+    df = spark.read.parquet(path).filter("l_returnflag = 'R'")
+    plan = explain_str(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "l_returnflag" in pf[0]
+    # the predicate is consumed by pruning, not re-checked per row
+    data_filters = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert all("l_returnflag" not in ln for ln in data_filters)
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DPP: joining a partitioned fact to a filtered dim must inject a
+    runtime pruning subquery on the fact scan — the mechanism that
+    keeps a 100 TB star-join from reading every partition."""
+    from etl_framework_spark.catalog import table
+    from etl_framework_spark.plans import explain_str
+
+    path = str(tmp_path / "orders_by_status")
+    table(spark, SF_SMALL, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    # NB: a constant dim predicate (status = 'F') is propagated through
+    # the join at compile time — static pruning, no DPP needed. A
+    # non-foldable predicate (aggregate HAVING) forces the runtime
+    # pruning subquery.
+    dim = table(spark, SF_SMALL, "orders").groupBy("o_orderstatus").count().filter(
+        "count > 400"
+    )
+    joined = fact.join(dim, "o_orderstatus")
+    assert "dynamicpruning" in explain_str(joined).lower()
