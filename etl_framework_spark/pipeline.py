@@ -121,6 +121,97 @@ def _merge_upsert(df: DataFrame, right: DataFrame, key: str) -> DataFrame:
     return merge_upsert(df, right, key)
 
 
+class ValidationError(RuntimeError):
+    """A declared data-quality gate failed; message lists every
+    failing check (not just the first)."""
+
+
+@op("validate")
+def _validate_step(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
+    """Config-declared validation step (the reference family runs row
+    counts / null checks between transform and load). All checks are
+    folded into ONE aggregate pass over the relation — a 100 TB
+    validation costs one scan, not one per check. Passing returns the
+    input unchanged (pass-through step); any failure raises
+    ValidationError naming every failed check.
+
+    Check shapes:
+      {"type": "row_count", "min": 1, "max": null}
+      {"type": "not_null", "columns": [c, ...]}
+      {"type": "unique", "columns": [c, ...]}
+      {"type": "accepted_values", "column": c, "values": [...]}
+      {"type": "expression", "expr": "<boolean sql>"}  # must hold per row
+    """
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(checks):
+        t = c.get("type")
+        if t == "row_count":
+            pass  # uses __n
+        elif t == "not_null":
+            for col in c["columns"]:
+                aggs.append(
+                    F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(
+                        f"__{i}_null_{col}"
+                    )
+                )
+        elif t == "unique":
+            aggs.append(
+                (
+                    F.count(F.lit(1))
+                    - F.countDistinct(F.struct(*[F.col(x) for x in c["columns"]]))
+                ).alias(f"__{i}_dupes")
+            )
+        elif t == "accepted_values":
+            col = F.col(c["column"])
+            aggs.append(
+                F.sum(
+                    F.when(col.isNotNull() & ~col.isin(*c["values"]), 1).otherwise(0)
+                ).alias(f"__{i}_rejected")
+            )
+        elif t == "expression":
+            aggs.append(
+                F.sum(F.when(~F.expr(c["expr"]), 1).otherwise(0)).alias(
+                    f"__{i}_violations"
+                )
+            )
+        else:
+            raise ValueError(f"unknown validation check type {t!r}")
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    failures: list[str] = []
+    n = row["__n"]
+    for i, c in enumerate(checks):
+        t = c["type"]
+        if t == "row_count":
+            lo, hi = c.get("min"), c.get("max")
+            if lo is not None and n < lo:
+                failures.append(f"row_count: {n} < min {lo}")
+            if hi is not None and n > hi:
+                failures.append(f"row_count: {n} > max {hi}")
+        elif t == "not_null":
+            for col in c["columns"]:
+                bad = row[f"__{i}_null_{col}"] or 0
+                if bad:
+                    failures.append(f"not_null({col}): {bad} null rows")
+        elif t == "unique":
+            bad = row[f"__{i}_dupes"] or 0
+            if bad:
+                failures.append(f"unique({','.join(c['columns'])}): {bad} duplicate rows")
+        elif t == "accepted_values":
+            bad = row[f"__{i}_rejected"] or 0
+            if bad:
+                failures.append(
+                    f"accepted_values({c['column']}): {bad} rows outside {c['values']}"
+                )
+        elif t == "expression":
+            bad = row[f"__{i}_violations"] or 0
+            if bad:
+                failures.append(f"expression({c['expr']}): {bad} violating rows")
+    if failures:
+        raise ValidationError("; ".join(failures))
+    return df
+
+
 @op("order_by")
 def _order_by(df: DataFrame, exprs: list[str]) -> DataFrame:
     """Sort expressions with optional trailing ASC/DESC. The suffix

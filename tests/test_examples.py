@@ -19,7 +19,7 @@ def test_yaml_star_join_job(spark):
     assert len(rows) > 0
     assert rows[0].revenue == max(r.revenue for r in rows)  # ordered desc
     # the intermediate relations are all addressable
-    assert {"recent_orders", "revenue", "top_nations"} <= set(rel)
+    assert {"recent_orders", "revenue", "validated", "top_nations"} <= set(rel)
 
 
 def test_json_quality_dedup_job(spark):

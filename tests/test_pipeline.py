@@ -226,3 +226,75 @@ def test_pipeline_remaining_ops(spark):
     assert {r.o_orderkey for r in rel["top"].collect()} == {
         r.o_orderkey for r in direct.collect()
     }
+
+
+def test_validation_step_passes_and_is_passthrough(spark):
+    from etl_framework_spark.pipeline import run_pipeline
+
+    rel = run_pipeline(
+        spark,
+        {
+            "sources": {
+                "orders": {
+                    "format": "parquet",
+                    "path": f"{SF_SMALL}/orders.parquet",
+                }
+            },
+            "steps": [
+                {
+                    "name": "checked",
+                    "input": "orders",
+                    "op": "validate",
+                    "args": {
+                        "checks": [
+                            {"type": "row_count", "min": 1},
+                            {"type": "not_null", "columns": ["o_orderkey", "o_custkey"]},
+                            {"type": "unique", "columns": ["o_orderkey"]},
+                            {
+                                "type": "accepted_values",
+                                "column": "o_orderstatus",
+                                "values": ["F", "O", "P"],
+                            },
+                            {"type": "expression", "expr": "o_totalprice > 0"},
+                        ]
+                    },
+                }
+            ],
+        },
+    )
+    assert rel["checked"].count() == rel["orders"].count()
+
+
+def test_validation_step_reports_every_failure(spark):
+    import pytest as _pytest
+
+    from etl_framework_spark.pipeline import ValidationError, run_pipeline
+
+    with _pytest.raises(ValidationError) as exc:
+        run_pipeline(
+            spark,
+            {
+                "sources": {
+                    "orders": {
+                        "format": "parquet",
+                        "path": f"{SF_SMALL}/orders.parquet",
+                    }
+                },
+                "steps": [
+                    {
+                        "name": "checked",
+                        "input": "orders",
+                        "op": "validate",
+                        "args": {
+                            "checks": [
+                                {"type": "row_count", "max": 10},
+                                {"type": "unique", "columns": ["o_orderstatus"]},
+                                {"type": "expression", "expr": "o_totalprice < 0"},
+                            ]
+                        },
+                    }
+                ],
+            },
+        )
+    msg = str(exc.value)
+    assert "row_count" in msg and "unique" in msg and "expression" in msg
