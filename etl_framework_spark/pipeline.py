@@ -126,22 +126,7 @@ class ValidationError(RuntimeError):
     failing check (not just the first)."""
 
 
-@op("validate")
-def _validate_step(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
-    """Config-declared validation step (the reference family runs row
-    counts / null checks between transform and load). All checks are
-    folded into ONE aggregate pass over the relation — a 100 TB
-    validation costs one scan, not one per check. Passing returns the
-    input unchanged (pass-through step); any failure raises
-    ValidationError naming every failed check.
-
-    Check shapes:
-      {"type": "row_count", "min": 1, "max": null}
-      {"type": "not_null", "columns": [c, ...]}
-      {"type": "unique", "columns": [c, ...]}
-      {"type": "accepted_values", "column": c, "values": [...]}
-      {"type": "expression", "expr": "<boolean sql>"}  # must hold per row
-    """
+def _check_aggs(checks: list[dict[str, Any]], allow_distinct: bool = True) -> list:
     aggs: list = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(checks):
         t = c.get("type")
@@ -155,6 +140,11 @@ def _validate_step(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
                     )
                 )
         elif t == "unique":
+            if not allow_distinct:
+                raise ValueError(
+                    "'unique' checks need a distinct aggregate, which "
+                    "observe() metrics forbid — use an eager validate step"
+                )
             aggs.append(
                 (
                     F.count(F.lit(1))
@@ -176,8 +166,10 @@ def _validate_step(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
             )
         else:
             raise ValueError(f"unknown validation check type {t!r}")
-    row = df.agg(*aggs).collect()[0].asDict()
+    return aggs
 
+
+def _check_failures(row: dict[str, Any], checks: list[dict[str, Any]]) -> list[str]:
     failures: list[str] = []
     n = row["__n"]
     for i, c in enumerate(checks):
@@ -207,6 +199,31 @@ def _validate_step(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
             bad = row[f"__{i}_violations"] or 0
             if bad:
                 failures.append(f"expression({c['expr']}): {bad} violating rows")
+    return failures
+
+
+@op("validate")
+def _validate_step(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
+    """Config-declared validation step (the reference family runs row
+    counts / null checks between transform and load). All checks are
+    folded into ONE aggregate pass over the relation — a 100 TB
+    validation costs one scan, not one per check. Passing returns the
+    input unchanged (pass-through step); any failure raises
+    ValidationError naming every failed check.
+
+    Check shapes:
+      {"type": "row_count", "min": 1, "max": null}
+      {"type": "not_null", "columns": [c, ...]}
+      {"type": "unique", "columns": [c, ...]}
+      {"type": "accepted_values", "column": c, "values": [...]}
+      {"type": "expression", "expr": "<boolean sql>"}  # must hold per row
+
+    For zero-extra-scan validation piggybacked on the sink write, put
+    the same checks on the *sink* spec as ``"validate": [...]``
+    (observe()-based; no 'unique' — distinct aggs can't ride observe).
+    """
+    row = df.agg(*_check_aggs(checks)).collect()[0].asDict()
+    failures = _check_failures(row, checks)
     if failures:
         raise ValidationError("; ".join(failures))
     return df
@@ -277,6 +294,11 @@ class Pipeline:
         for sink in self.spec.get("sinks", []):
             if sink.get("input") not in known:
                 raise ValueError(f"sink references unknown relation {sink.get('input')!r}")
+            if sink.get("validate") and sink.get("format") == "view":
+                raise ValueError(
+                    "view sinks run no action, so observe()-based sink "
+                    "validation never fires — use a 'validate' step instead"
+                )
 
     def run(self, spark: SparkSession) -> dict[str, DataFrame]:
         """Materialize sources, apply steps in order, run sinks.
@@ -297,7 +319,27 @@ class Pipeline:
             out.createOrReplaceTempView(step["name"])
             rel[step["name"]] = out
         for sink in self.spec.get("sinks", []):
-            write_sink(rel[sink["input"]], {k: v for k, v in sink.items() if k != "input"})
+            df = rel[sink["input"]]
+            checks = sink.get("validate")
+            obs = None
+            if checks:
+                # zero-extra-scan validation: metrics are computed BY
+                # the sink write itself (df.observe), so a 100 TB load
+                # is validated without a second pass over the data.
+                from pyspark.sql import Observation
+
+                obs = Observation(f"validate_{sink['input']}")
+                df = df.observe(obs, *_check_aggs(checks, allow_distinct=False))
+            write_sink(
+                df,
+                {k: v for k, v in sink.items() if k not in ("input", "validate")},
+            )
+            if obs is not None:
+                failures = _check_failures(obs.get, checks)
+                if failures:
+                    raise ValidationError(
+                        f"sink {sink['input']!r}: " + "; ".join(failures)
+                    )
         return rel
 
 

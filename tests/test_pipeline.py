@@ -298,3 +298,94 @@ def test_validation_step_reports_every_failure(spark):
         )
     msg = str(exc.value)
     assert "row_count" in msg and "unique" in msg and "expression" in msg
+
+
+def test_sink_observe_validation_zero_extra_scan(spark, tmp_path):
+    """Sink-attached checks ride df.observe: metrics come from the
+    write action itself (no second scan). Good data passes; a failing
+    gate raises after the write with the sink named."""
+    import pytest as _pytest
+
+    from etl_framework_spark.pipeline import ValidationError, run_pipeline
+
+    spec = {
+        "sources": {
+            "orders": {"format": "parquet", "path": f"{SF_SMALL}/orders.parquet"}
+        },
+        "steps": [
+            {
+                "name": "recent",
+                "input": "orders",
+                "op": "filter",
+                "args": {"condition": "o_orderdate >= timestamp '1997-01-01'"},
+            }
+        ],
+        "sinks": [
+            {
+                "input": "recent",
+                "format": "parquet",
+                "path": str(tmp_path / "ok"),
+                "validate": [
+                    {"type": "row_count", "min": 1},
+                    {"type": "not_null", "columns": ["o_orderkey"]},
+                    {"type": "expression", "expr": "o_totalprice > 0"},
+                ],
+            }
+        ],
+    }
+    run_pipeline(spark, spec)
+    assert spark.read.parquet(str(tmp_path / "ok")).count() > 0
+
+    bad = dict(spec)
+    bad["sinks"] = [
+        {
+            "input": "recent",
+            "format": "parquet",
+            "path": str(tmp_path / "bad"),
+            "validate": [{"type": "row_count", "max": 5}],
+        }
+    ]
+    with _pytest.raises(ValidationError, match="recent"):
+        run_pipeline(spark, bad)
+
+
+def test_sink_validation_rejects_view_and_unique(spark, tmp_path):
+    import pytest as _pytest
+
+    from etl_framework_spark.pipeline import Pipeline, run_pipeline
+
+    with _pytest.raises(ValueError, match="view sinks"):
+        Pipeline(
+            {
+                "sources": {
+                    "orders": {"format": "parquet", "path": f"{SF_SMALL}/orders.parquet"}
+                },
+                "steps": [],
+                "sinks": [
+                    {
+                        "input": "orders",
+                        "format": "view",
+                        "name": "v",
+                        "validate": [{"type": "row_count", "min": 1}],
+                    }
+                ],
+            }
+        )
+    with _pytest.raises(ValueError, match="unique"):
+        run_pipeline(
+            spark,
+            {
+                "sources": {
+                    "orders": {"format": "parquet", "path": f"{SF_SMALL}/orders.parquet"}
+                },
+                "steps": [],
+                "sinks": [
+                    {
+                        "input": "orders",
+                        "format": "parquet",
+                        "path": str(tmp_path / "x"),
+                        "validate": [{"type": "unique", "columns": ["o_orderkey"]}],
+                    }
+                ],
+            },
+        )
