@@ -40,3 +40,37 @@ def salted_sum_count(
     return partial.groupBy(*keys).agg(
         F.sum("__psum").alias("sum_value"), F.sum("__pcnt").alias("n_rows")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to a hot key on the LEFT (fact) side: left
+    rows get a deterministic salt in [0, n_salts); the RIGHT (smaller)
+    side is replicated n_salts times via an exploded literal range, so
+    the join key becomes (key, salt) and the hot key's rows spread
+    over n_salts reducers instead of one straggler task.
+
+    Use when AQE skew splitting can't help — e.g. the skew is in a
+    shuffle feeding a non-join operator, or the join is shuffled-hash
+    on a deliberately partitioned layout. The salt hashes a uniform
+    row-local column surrogate (monotonically varying join payload is
+    unnecessary: spreading only needs per-ROW variation, so we hash
+    the whole left row via all columns).
+
+    Supports inner/left joins (right replication breaks right/full
+    null-extension accounting).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    lsalted = left.withColumn("__salt", salt)
+    rrep = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    out = lsalted.join(rrep, [key, "__salt"], how)
+    return out.drop("__salt")

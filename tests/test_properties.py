@@ -229,3 +229,23 @@ def test_session_window_matches_gap_reference(spark_global, secs):
             start, last, n = t, t, 1
     want.add((start, last + dt.timedelta(seconds=gap), n))
     assert got == want
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join is semantics-preserving: same multiset of rows as
+    the plain equi-join, for inner and left, including unmatched
+    left rows (null-extended exactly once, not n_salts times)."""
+    from etl_framework_spark.catalog import table
+    from etl_framework_spark.operators.skew import salted_join
+
+    li = table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    # drop some orders so left rows can be unmatched
+    o = (
+        table(spark, SF_SMALL, "orders")
+        .filter("o_orderkey % 3 != 0")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    )
+    for how in ("inner", "left"):
+        plain = sorted(map(str, li.join(o, "l_orderkey", how).collect()))
+        salted = sorted(map(str, salted_join(li, o, "l_orderkey", 8, how).collect()))
+        assert salted == plain, how
