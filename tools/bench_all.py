@@ -1,0 +1,62 @@
+"""Time EVERY contract query at a scale factor (default sf0.1) with
+the noop sink and write artifacts/bench_all.json — the self-measured
+per-operator baseline SURVEY §6 calls for. Two runs per key, min
+reported (JIT/warmup noise dominates single local runs).
+
+Usage: python tools/bench_all.py [--sf DIR] [--out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/root/repo/artifacts/bench_all.json")
+    args = ap.parse_args()
+
+    from etl_framework_spark.session import get_spark
+    import __spark_entry__ as ent
+
+    spark = get_spark("bench_all")
+    qs = ent.queries()
+
+    def run(key: str) -> float:
+        t0 = time.time()
+        qs[key](spark, args.sf).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("agg_groupby")  # warmup, untimed
+    times: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for key in sorted(qs):
+        try:
+            times[key] = round(min(run(key), run(key)), 3)
+        except Exception as e:  # noqa: BLE001 — record, keep sweeping
+            failures[key] = str(e)[:200]
+        print(f"{key:28s} {times.get(key, 'FAIL')}", flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    payload = {
+        "sf_dir": args.sf,
+        "n_queries": len(times),
+        "total_sec": round(sum(times.values()), 3),
+        "queries": dict(sorted(times.items(), key=lambda kv: -kv[1])),
+        "failures": failures,
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({"total_sec": payload["total_sec"], "n": len(times),
+                      "failures": len(failures)}))
+
+
+if __name__ == "__main__":
+    main()
