@@ -8,6 +8,7 @@ where each family lives with its tests and DuckDB-oracle mirrors.
 from etl_framework_spark.operators.dedup import (
     jaccard,
     minhash_signature,
+    md5_per_token,
     simhash16,
 )
 from etl_framework_spark.operators.similarity import (
@@ -28,6 +29,7 @@ from etl_framework_spark.operators.textops import (
 __all__ = [
     "jaccard",
     "minhash_signature",
+    "md5_per_token",
     "simhash16",
     "cosine",
     "dot_fold",

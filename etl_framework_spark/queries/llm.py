@@ -18,6 +18,7 @@ from etl_framework_spark.operators.dedup import (
     attach_minhash,
     duck_minhash,
     duck_simhash,
+    md5_per_token,
     simhash16,
 )
 from etl_framework_spark.operators.textops import (
@@ -207,8 +208,9 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash bits; entirely codegen'd column math, no shuffle."""
     prep(spark)
     docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", simhash16(F.array_distinct(tokens("text"))).alias("simhash")
+    return (
+        docs.withColumn("__h", md5_per_token(F.array_distinct(tokens("text"))))
+        .select("doc_id", simhash16(F.col("__h")).alias("simhash"))
     )
 
 
@@ -229,9 +231,9 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     same join shape, bounded buckets."""
     prep(spark)
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "lang", simhash16(F.array_distinct(tokens("text"))).alias("simhash")
-    )
+    sh = docs.withColumn(
+        "__h", md5_per_token(F.array_distinct(tokens("text")))
+    ).select("doc_id", "lang", simhash16(F.col("__h")).alias("simhash"))
     a = sh.alias("a")
     b = sh.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
