@@ -60,3 +60,44 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int, frame_digest string"
+
+
+def sample_frames(df: DataFrame, frame_size: int = 64, stride: int = 4) -> DataFrame:
+    """Frame-sampling plumbing (video/audio): treat the payload as a
+    sequence of `frame_size`-byte frames and emit every `stride`-th
+    one (frame_idx, size, digest). Arrow-batched mapInPandas — each
+    Python worker slices its own partitions' payloads; no shuffle, and
+    output size is input/stride (the point of sampling at 100 TB).
+
+    df must have (doc_id, payload). With real codecs this is where
+    ffmpeg keyframe extraction would slot in; the slicing, batching,
+    and one-row-per-frame fan-out are the production-shaped parts.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        step = frame_size * stride
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_digest": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for off in range(0, len(b), step):
+                    chunk = b[off : off + frame_size]
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(off // frame_size)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_digest"].append(
+                        hashlib.sha256(chunk).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_bytes": pd.Series(out["frame_bytes"], dtype="int32"),
+                    "frame_digest": pd.Series(out["frame_digest"], dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(_frames, schema=FRAMES_SCHEMA)

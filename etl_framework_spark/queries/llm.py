@@ -464,6 +464,32 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(multimodal.attach_binary(docs))
 
 
+@query(
+    "mm_framesample",
+    oracle="""
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (SELECT doc_id, n,
+                 unnest(generate_series(0, CAST(floor((n - 1) / 256.0) AS BIGINT)))
+                   AS blk
+          FROM d)
+    SELECT doc_id,
+           CAST(blk * 4 AS INT) AS frame_idx,
+           CAST(least(64, n - blk * 256) AS INT) AS frame_bytes
+    FROM f
+    """,
+)
+def mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (L6): payload sliced into 64-byte frames, every
+    4th kept — Arrow-batched mapInPandas fan-out (one row per sampled
+    frame). The frame geometry (index, byte count) is pure arithmetic
+    on the payload length, so the oracle reproduces it exactly from
+    octet_length; the per-frame digest is unit-tested instead."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(multimodal.attach_binary(docs))
+    return frames.select("doc_id", "frame_idx", "frame_bytes")
+
+
 @query("llm_dedup_cc")  # rows-only: iterative fixpoint, not SQL-expressible
 def llm_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters (L2 fixpoint): label propagation

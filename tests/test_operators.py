@@ -180,3 +180,26 @@ def test_connected_components_matches_union_find(spark):
     chain = spark.createDataFrame([(2, 1), (3, 2), (4, 3)], "src long, dst long")
     cc = {r.node: r.component for r in connected_components(chain).collect()}
     assert set(cc.values()) == {1}
+
+
+def test_sample_frames_digests_and_geometry(spark):
+    """Frame digests match a local slice of the same bytes; stride
+    skips exactly the in-between frames."""
+    import hashlib
+
+    from etl_framework_spark.operators import multimodal
+    from etl_framework_spark.catalog import table
+
+    docs = table(spark, SF_SMALL, "documents").limit(20)
+    frames = multimodal.sample_frames(
+        multimodal.attach_binary(docs), frame_size=64, stride=4
+    ).collect()
+    texts = {r.doc_id: r.text.encode() for r in docs.collect()}
+    assert frames
+    for r in frames:
+        b = texts[r.doc_id]
+        off = r.frame_idx * 64
+        assert r.frame_idx % 4 == 0  # only every 4th frame sampled
+        chunk = b[off : off + 64]
+        assert r.frame_bytes == len(chunk)
+        assert r.frame_digest == hashlib.sha256(chunk).hexdigest()[:16]
