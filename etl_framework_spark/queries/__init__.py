@@ -28,6 +28,7 @@ for _m in [
     "extras4",
     "extras5",
     "extras6",
+    "analytics",
 ]:
     try:
         __import__(f"etl_framework_spark.queries.{_m}")
