@@ -170,3 +170,24 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(l_returnflag AS int)").alias("bad_parse"),
         F.expr("try_cast(cast(l_linenumber AS string) AS int)").alias("good_parse"),
     )
+
+
+@query("agg_hll_merge")  # rows-only: sketch estimates are engine-specific
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches, Spark 3.5+): per-group
+    distinct-customer sketches merged into a global estimate — THE
+    100 TB cardinality pattern (sketch per partition/day once, merge
+    forever after; never re-scan raw data for a rollup). The merged
+    estimate equals the flat estimate and lands within 5% of exact
+    (unit-tested); rows-only here since sketch internals are
+    engine-specific."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count("*").alias("n_orders"),
+    )
+    return per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_custs"),
+        F.sum("n_orders").alias("n_orders"),
+    )

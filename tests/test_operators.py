@@ -203,3 +203,21 @@ def test_sample_frames_digests_and_geometry(spark):
         chunk = b[off : off + 64]
         assert r.frame_bytes == len(chunk)
         assert r.frame_digest == hashlib.sha256(chunk).hexdigest()[:16]
+
+
+def test_hll_merge_is_consistent_and_accurate(spark):
+    """Merged per-group sketches must estimate like one flat sketch
+    and land within 5% of the exact distinct count."""
+    from etl_framework_spark.catalog import table
+
+    o = table(spark, SF_SMALL, "orders")
+    exact = o.select("o_custkey").distinct().count()
+    flat = o.agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey"))).first()[0]
+    merged = (
+        o.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")))
+        .first()[0]
+    )
+    assert merged == flat  # merge of partials == one-pass sketch
+    assert abs(merged - exact) / exact < 0.05
