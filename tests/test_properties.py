@@ -249,3 +249,31 @@ def test_salted_join_matches_plain_join(spark):
         plain = sorted(map(str, li.join(o, "l_orderkey", how).collect()))
         salted = sorted(map(str, salted_join(li, o, "l_orderkey", 8, how).collect()))
         assert salted == plain, how
+
+
+def test_funnel_is_monotone(spark):
+    """Each funnel stage is a subset of the previous one."""
+    import __spark_entry__ as ent
+
+    r = ent.queries()["funnel"](spark, SF_SMALL).first()
+    assert r.n_view >= r.n_click >= r.n_purchase >= 0
+
+
+def test_cdc_diff_partitions_keyspace(spark):
+    """added/removed/changed counts must reconcile with the slice
+    arithmetic that generated the two versions."""
+    import __spark_entry__ as ent
+    from etl_framework_spark.catalog import table
+
+    o = table(spark, SF_SMALL, "orders")
+    diff = ent.queries()["cdc_diff"](spark, SF_SMALL)
+    got = {r.change: r.cnt for r in diff.groupBy("change").agg(F.count("*").alias("cnt")).collect()}
+    n_added = o.filter("o_orderkey % 7 = 0 AND o_orderkey % 11 != 0").count()
+    n_removed = o.filter("o_orderkey % 7 != 0 AND o_orderkey % 11 = 0").count()
+    n_changed = o.filter(
+        "o_orderkey % 7 != 0 AND o_orderkey % 11 != 0 AND o_orderkey % 5 = 0"
+        " AND o_totalprice != 0"
+    ).count()
+    assert got.get("added", 0) == n_added
+    assert got.get("removed", 0) == n_removed
+    assert got.get("changed", 0) == n_changed
