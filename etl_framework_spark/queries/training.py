@@ -208,3 +208,110 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") >= 3)
         .select("train_doc", "eval_doc", "shared")
     )
+
+
+@query(
+    "pack_payloads",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, text, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS c
+      FROM toks
+    )
+    SELECT source,
+           CAST(floor((c - n_tok) / 256.0) AS BIGINT) AS bin,
+           string_agg(text, ' ' ORDER BY doc_id) AS packed_text,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM cum
+    GROUP BY source, bin
+    """,
+)
+def pack_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized sequence packing: the actual concatenated training
+    sequences (doc_id order within each bin), not just bin stats —
+    what the tokenizer shards consume. Same single window cumsum as
+    pack_sequences plus one ordered string aggregation."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = toks.withColumn("c", F.sum("n_tok").over(w))
+    return (
+        cum.select(
+            "source",
+            F.floor((F.col("c") - F.col("n_tok")) / F.lit(256.0))
+            .cast("bigint")
+            .alias("bin"),
+            "doc_id",
+            "text",
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s.getField("text"),
+                ),
+                " ",
+            ).alias("packed_text"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+# Literal per-language sampling rates (a mixture policy fixed by
+# config, not derived floats — derived thresholds could straddle a
+# rounding boundary differently per engine).
+_MIX_RATES = {"en": 0.5, "es": 0.8, "de": 0.9, "fr": 0.7, "zh": 1.0}
+
+
+@query(
+    "mix_sample",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+    FROM documents
+    WHERE (doc_id * {_K}) % {_MOD}
+          < CAST((CASE lang
+                    WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.8 WHEN 'de' THEN 0.9
+                    WHEN 'fr' THEN 0.7 ELSE 1.0 END) * {_MOD} AS BIGINT)
+    GROUP BY lang
+    """,
+)
+def mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted mixture sampling: each language keeps a
+    config-declared fraction of documents via the same multiplicative
+    hash as train_split — reproducible downsampling with no RNG, the
+    way a 100 TB mixture is actually drawn (re-runs and retries keep
+    the same rows)."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    expr = None
+    for lang, r in _MIX_RATES.items():
+        expr = (
+            F.when(F.col("lang") == lang, F.lit(r))
+            if expr is None
+            else expr.when(F.col("lang") == lang, F.lit(r))
+        )
+    rate = expr.otherwise(F.lit(1.0))
+    bucket = (F.col("doc_id") * F.lit(_K)) % F.lit(_MOD)
+    thresh = (rate * _MOD).cast("bigint")
+    return (
+        d.filter(bucket < thresh)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )
