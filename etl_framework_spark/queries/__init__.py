@@ -29,6 +29,7 @@ for _m in [
     "extras5",
     "extras6",
     "analytics",
+    "quality",
 ]:
     try:
         __import__(f"etl_framework_spark.queries.{_m}")

@@ -315,3 +315,72 @@ def mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("kept_chars"),
         )
     )
+
+
+_STRAT_N = 40  # per-language subset size
+
+
+@query(
+    "train_stratified",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * {_K}) % {_MOD}, doc_id) AS INT) AS pick_rank
+    FROM documents
+    QUALIFY pick_rank <= {_STRAT_N}
+    """,
+)
+def train_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly {N} docs per
+    language, chosen by multiplicative-hash order (not seeded RNG), so
+    the balanced subset is identical across engines, runs, and
+    repartitionings. Per-group top-N rides WindowGroupLimit — partial
+    limits apply map-side before the shuffle, so at 100 TB each
+    partition forwards at most N rows per language."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_K)) % F.lit(_MOD)
+    w = Window.partitionBy("lang").orderBy(bucket, "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("int").alias("pick_rank"),
+        )
+        .filter(F.col("pick_rank") <= _STRAT_N)
+    )
+
+
+@query(
+    "train_curriculum",
+    oracle="""
+    WITH staged AS (
+        SELECT lang, n_chars,
+               CAST(ntile(4) OVER (
+                   PARTITION BY lang
+                   ORDER BY n_chars, doc_id) AS INT) AS stage
+        FROM documents)
+    SELECT lang, stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM staged
+    GROUP BY lang, stage
+    """,
+)
+def train_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: quartile buckets per language ordered by a
+    difficulty proxy (document length, doc_id tiebreak for a total
+    order) — the 'short docs first' schedule. ntile is a per-lang
+    window (never a global sort); the rollup output is |langs|×4
+    rows."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    staged = d.select(
+        "lang", "n_chars", F.ntile(4).over(w).cast("int").alias("stage")
+    )
+    return staged.groupBy("lang", "stage").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )

@@ -38,6 +38,16 @@ def read_source(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
         for k, v in options.items():
             reader = reader.option(k, v)
         return reader.load()
+    if fmt == "docstore":  # custom Python DataSource connector
+        from etl_framework_spark.sources.docstore import register
+
+        register(spark)
+        return (
+            spark.read.format("docstore")
+            .options(**options)
+            .option("path", spec["path"])
+            .load()
+        )
     if fmt not in _FILE_FORMATS:
         raise ValueError(f"unsupported source format {fmt!r}")
     if "path" not in spec:
@@ -73,6 +83,18 @@ def write_sink(df: DataFrame, spec: dict[str, Any]) -> None:
         for k, v in dict(spec.get("options", {})).items():
             writer = writer.option(k, v)
         writer.save()
+        return
+    if fmt == "docstore":
+        from etl_framework_spark.sources.docstore import register
+
+        register(df.sparkSession)
+        (
+            df.write.format("docstore")
+            .mode(spec.get("mode", "overwrite"))
+            .options(**dict(spec.get("options", {})))
+            .option("path", spec["path"])
+            .save()
+        )
         return
     if fmt not in _FILE_FORMATS:
         raise ValueError(f"unsupported sink format {fmt!r}")
