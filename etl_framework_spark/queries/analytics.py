@@ -167,3 +167,40 @@ def cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             change.alias("change"),
         )
     )
+
+
+@query(
+    "events_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type, day)
+    SELECT event_type, day, n_events,
+           round((n_events - avg(n_events) OVER (PARTITION BY event_type))
+                 / stddev_samp(n_events) OVER (PARTITION BY event_type),
+                 6) AS zscore
+    FROM daily
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly scores: z-score of each (event_type, day) count
+    against that type's own daily distribution — the ops-dashboard
+    'did traffic spike' query. Daily counts partial-aggregate
+    map-side; the z-score window partitions by event_type over a
+    |types|×|days| frame that is tiny at any scale (statistics over
+    days, not events)."""
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    w = W.partitionBy("event_type")
+    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.stddev_samp(
+        "n_events"
+    ).over(w)
+    return daily.select(
+        "event_type", "day", "n_events", F.round(z, 6).alias("zscore")
+    )

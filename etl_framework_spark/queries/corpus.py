@@ -261,3 +261,34 @@ def llm_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     )
+
+
+IDX_DOCS = 500  # doc universe bound for the posting-list output
+
+
+@query(
+    "llm_inverted_index",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents WHERE doc_id < {IDX_DOCS})
+    SELECT tok,
+           CAST(count(*) AS BIGINT) AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           list_sort(list(DISTINCT doc_id)) AS postings
+    FROM toks GROUP BY tok
+    """,
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (L4): token → sorted posting list of doc_ids,
+    with term and document frequencies, over a bounded doc universe.
+    At 100 TB the same plan holds with postings chunked per shard:
+    groupBy(tok) is one partial-aggregating shuffle, and collect_set
+    keeps per-token state bounded by df, not corpus size."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < IDX_DOCS)
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    return toks.groupBy("tok").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+    )

@@ -98,6 +98,24 @@ def write_sink(df: DataFrame, spec: dict[str, Any]) -> None:
         return
     if fmt not in _FILE_FORMATS:
         raise ValueError(f"unsupported sink format {fmt!r}")
+    if spec.get("cluster_by"):
+        # Global clustering on write: range-repartition so each output
+        # task owns a disjoint key range, then sort locally — file and
+        # row-group min/max stats become tight AND non-overlapping, so
+        # downstream scans on the cluster key skip whole files. One
+        # range shuffle at write time buys every future read.
+        cols = list(spec["cluster_by"])
+        n = spec.get("cluster_partitions")
+        df = (
+            df.repartitionByRange(int(n), *cols)
+            if n
+            else df.repartitionByRange(*cols)
+        ).sortWithinPartitions(*cols)
+    elif spec.get("sort_by"):
+        # Local-only clustering: sort within existing partitions so
+        # row-group min/max stats are tight (no extra shuffle). Use
+        # when the upstream partitioning already groups the key.
+        df = df.sortWithinPartitions(*spec["sort_by"])
     writer = df.write.mode(spec.get("mode", "overwrite"))
     if spec.get("partition_by"):
         writer = writer.partitionBy(*spec["partition_by"])
