@@ -204,3 +204,87 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "event_type", "day", "n_events", F.round(z, 6).alias("zscore")
     )
+
+
+@query(
+    "events_twa",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, value,
+                      CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT)
+                          AS tsec
+               FROM events),
+    d AS (SELECT user_id, value, tsec,
+                 lead(tsec) OVER (PARTITION BY user_id
+                                  ORDER BY tsec, event_id) - tsec AS dt
+          FROM e)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_holds,
+           round(sum(value * dt) / sum(dt), 6) AS twa_value
+    FROM d WHERE dt IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(dt) > 0
+    """,
+)
+def events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user: each reading holds
+    until the next one, so it is weighted by its holding interval
+    (last-observation-carried-forward, the time-series-native mean —
+    an arithmetic mean over irregular samples over-weights bursts).
+    One per-user window + one per-user agg; both shuffles share the
+    user_id key and users are uniformly distributed."""
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.date_trunc("second", F.col("ts")).cast("long").alias("tsec"),
+    )
+    w = W.partitionBy("user_id").orderBy("tsec", "event_id")
+    d = e.withColumn("dt", F.lead("tsec").over(w) - F.col("tsec")).filter(
+        F.col("dt").isNotNull()
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_holds"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6
+            ).alias("twa_value"),
+            F.sum("dt").alias("_tot"),
+        )
+        .filter(F.col("_tot") > 0)
+        .drop("_tot")
+    )
+
+
+@query(
+    "events_sliding_uniques",
+    oracle="""
+    WITH e AS (SELECT CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT)
+                   AS tsec, event_type, user_id FROM events)
+    SELECT make_timestamp(((tsec // 86400) - k.k) * 86400 * 1000000)
+               AS win_start,
+           event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e, (VALUES (0), (1), (2), (3), (4), (5), (6)) k(k)
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding distinct users: 7-day windows advancing daily — the
+    rolling-actives metric. COUNT(DISTINCT) cannot ride a window
+    frame, so each event expands into the 7 windows containing it
+    (window(ts, '7 days', '1 day')) and a plain distinct agg runs per
+    (window, type) — the standard scale-out rewrite; the oracle
+    expands the slide as 7 shifted tumbles."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").withColumn(
+        "tts", F.date_trunc("second", F.col("ts"))
+    )
+    return (
+        ev.groupBy(F.window("tts", "7 days", "1 day").alias("win"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_users")
+    )

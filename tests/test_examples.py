@@ -47,3 +47,26 @@ def test_load_spec_rejects_non_mapping(tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "mapping" in str(e)
+
+
+def test_json_docstore_export_job(spark):
+    rel = run_pipeline_file(spark, "/root/repo/examples/docstore_export.json")
+    assert rel["checked"].columns == ["doc_id", "text", "meta"]
+
+    # docstore sink is readable back through the connector and kept
+    # every gated row
+    from etl_framework_spark.sources.readers import read_source
+
+    back = read_source(
+        spark,
+        {"format": "docstore", "path": "/root/repo/.scratch/example_docstore_out"},
+    )
+    assert back.count() == rel["gated"].count()
+    assert back.filter(F.col("meta").contains('"lang"')).count() == back.count()
+
+    # clustered parquet sink round-trips
+    clustered = read_source(
+        spark,
+        {"format": "parquet", "path": "/root/repo/.scratch/example_docs_clustered"},
+    )
+    assert clustered.count() == rel["gated"].count()
