@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_framework_spark.catalog import table
+from etl_framework_spark.operators.heavyhitters import heavy_hitters
 from etl_framework_spark.operators.textops import shingles, tokens
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
@@ -292,3 +293,31 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("df"),
         F.sort_array(F.collect_set("doc_id")).alias("postings"),
     )
+
+
+HH_FRAC = 0.03  # heavy-hitter threshold (fraction of all tokens)
+
+
+@query(
+    "llm_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT tok, count(*) AS freq
+    FROM toks, tot
+    GROUP BY tok, tot.n
+    HAVING count(*) >= {HH_FRAC} * tot.n
+    """,
+)
+def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (L4): tokens with frequency ≥ {3}% of the
+    corpus, via Misra-Gries candidate generation + exact recount
+    (operators/heavyhitters.py). Pass 1 is shuffle-free bounded-state
+    mapInPandas; pass 2 recounts only broadcast-semi-joined
+    candidates — so the sketch plan still admits this exact SQL
+    oracle."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    return heavy_hitters(toks, frac=HH_FRAC)

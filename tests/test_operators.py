@@ -221,3 +221,32 @@ def test_hll_merge_is_consistent_and_accurate(spark):
     )
     assert merged == flat  # merge of partials == one-pass sketch
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_heavy_hitters_exact_on_wide_vocab(spark):
+    """Misra-Gries pass must not lose a true heavy hitter even when the
+    distinct-token count (10k) vastly exceeds the counter budget (k=64),
+    and the recount pass must return exact frequencies."""
+    from etl_framework_spark.operators.heavyhitters import heavy_hitters
+
+    # 10_000 singleton tokens + two hot tokens at ~9% and ~4.5% of total.
+    rows = (
+        [(f"rare_{i}",) for i in range(10_000)]
+        + [("hot_a",)] * 1200
+        + [("hot_b",)] * 600
+    )
+    toks = spark.createDataFrame(rows, "tok string").repartition(8)
+    got = {r["tok"]: r["freq"] for r in heavy_hitters(toks, frac=0.04, k=64).collect()}
+    assert got == {"hot_a": 1200, "hot_b": 600}
+
+    # Threshold boundary: only hot_a clears 8%.
+    got2 = {r["tok"]: r["freq"] for r in heavy_hitters(toks, frac=0.08, k=64).collect()}
+    assert got2 == {"hot_a": 1200}
+
+
+def test_heavy_hitters_rejects_unsound_frac(spark):
+    from etl_framework_spark.operators.heavyhitters import heavy_hitters
+
+    toks = spark.createDataFrame([("x",)], "tok string")
+    with pytest.raises(ValueError):
+        heavy_hitters(toks, frac=0.001, k=64)  # 0.001 <= 1/65
