@@ -30,6 +30,7 @@ for _m in [
     "extras6",
     "analytics",
     "quality",
+    "lm_stats",
 ]:
     try:
         __import__(f"etl_framework_spark.queries.{_m}")

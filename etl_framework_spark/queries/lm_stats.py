@@ -1,0 +1,153 @@
+"""Language-model corpus statistics (SURVEY.md §2.11 L4 widening):
+unigram log-probability scoring (the classic perplexity-proxy quality
+signal), Zipf rank-frequency fit, and per-source distribution drift.
+
+These are the monitoring/filtering signals a training-data pipeline
+computes continuously at 100 TB. All three share one shape: a corpus
+unigram model is a tiny aggregate (|vocab| rows) that BROADCASTS back
+onto the token stream, so the only fact-sized shuffles are the
+partial-aggregating token counts themselves — no join ever shuffles
+the corpus by anything lower-cardinality than (doc_id | tok).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_framework_spark.catalog import table
+from etl_framework_spark.operators.textops import tokens
+from etl_framework_spark.registry import query
+from etl_framework_spark.session import prep
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("tok")
+    )
+
+
+@query(
+    "llm_unigram_logprob",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    tot AS (SELECT count(*) AS n FROM toks),
+    p AS (SELECT tok, CAST(count(*) AS DOUBLE) / (SELECT n FROM tot) AS pt
+          FROM toks GROUP BY tok)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           round(avg(ln(p.pt)), 6) AS avg_logprob
+    FROM toks t JOIN p USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token log-probability under the corpus unigram
+    LM — the cheapest perplexity-style quality score (low = off-
+    distribution document). The unigram model is |vocab| rows →
+    broadcast; per-doc scoring is one partial-aggregating groupBy."""
+    prep(spark)
+    toks = _toks(spark, sf_dir)
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    model = vocab.crossJoin(
+        F.broadcast(toks.agg(F.count("*").alias("n")))
+    ).select("tok", (F.col("c") / F.col("n")).alias("pt"))
+    return (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(F.avg(F.log(F.col("pt"))), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "llm_zipf_fit",
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    f AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rnk FROM f)
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+               AS zipf_slope,
+           round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+               AS zipf_intercept
+    FROM r
+    """,
+)
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope/intercept of ln(freq) on ln(rank).
+    A healthy natural-language corpus slopes ≈ -1; a flat slope flags
+    synthetic or templated text. The regression runs over |vocab|
+    rows, so the rank window (a global sort of the vocab, NOT the
+    corpus) is negligible at any corpus scale."""
+    prep(spark)
+    toks = _toks(spark, sf_dir)
+    f = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    r = f.select(
+        "c",
+        F.row_number()
+        .over(W.orderBy(F.col("c").desc(), "tok"))
+        .alias("rnk"),
+    )
+    lnc, lnr = F.log(F.col("c").cast("double")), F.log(
+        F.col("rnk").cast("double")
+    )
+    return r.agg(
+        F.count("*").alias("n_types"),
+        F.round(F.regr_slope(lnc, lnr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lnc, lnr), 6).alias("zipf_intercept"),
+    )
+
+
+@query(
+    "llm_source_drift",
+    oracle="""
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    q AS (SELECT tok, CAST(count(*) AS DOUBLE)
+                      / (SELECT count(*) FROM toks) AS qt
+          FROM toks GROUP BY tok),
+    st AS (SELECT source, count(*) AS n FROM toks GROUP BY source),
+    p AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok)
+    SELECT p.source,
+           round(sum((CAST(p.c AS DOUBLE) / st.n)
+                     * ln((CAST(p.c AS DOUBLE) / st.n) / q.qt)), 6)
+               AS kl_vs_corpus
+    FROM p
+    JOIN st ON st.source = p.source
+    JOIN q ON q.tok = p.tok
+    GROUP BY p.source
+    """,
+)
+def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(source unigram dist ‖ corpus dist) — the drift
+    monitor that catches one web crawl going templated/spammy inside a
+    mixture. Both distributions are |vocab|-sized aggregates of the
+    same token scan; the (source × tok) agg shuffles once and every
+    join after it is broadcast-sized."""
+    prep(spark)
+    toks = _toks(spark, sf_dir)
+    q = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cq"))
+        .crossJoin(F.broadcast(toks.agg(F.count("*").alias("nq"))))
+        .select("tok", (F.col("cq") / F.col("nq")).alias("qt"))
+    )
+    st = toks.groupBy("source").agg(F.count("*").alias("n"))
+    p = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    ps = F.col("c") / F.col("n")
+    return (
+        p.join(F.broadcast(st), "source")
+        .join(F.broadcast(q), "tok")
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(ps * F.log(ps / F.col("qt"))), 6).alias(
+                "kl_vs_corpus"
+            )
+        )
+    )
