@@ -16,7 +16,7 @@ transitive closure in O(log n) rounds on real cluster structures.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -46,23 +46,25 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+        )
+        # convergence count rides the SAME job that materializes the
+        # checkpoint (observe() is a zero-scan accumulator), instead of
+        # a second join-the-old-labels action per round
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label < F.col("label")).cast("long").alias("chg"),
             )
+            .observe(obs, F.sum("chg").alias("changed"))
+            .select("node", "label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
