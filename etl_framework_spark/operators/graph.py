@@ -68,3 +68,58 @@ def connected_components(
         if (obs.get["changed"] or 0) == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 15,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank over an undirected graph, fixed `iters` power
+    iterations: p(v) = (1-d)/N + d * Σ_u p(u)·w(u,v)/W(u).
+
+    Edges are symmetrized, so every node has in- and out-mass (no
+    dangling-node correction needed). Each iteration is one hash
+    shuffle on the node id — the same partitioning every round, which
+    AQE reuses — plus a join against the static out-weight table.
+    Lineage is truncated every 5 rounds; the loop itself is fixed-
+    length (deterministic result, no convergence action).
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w"))
+        .union(
+            edges.select(
+                F.col(dst).alias("u"), F.col(src).alias("v"), w.alias("w")
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    outw = sym.groupBy("u").agg(F.sum("w").alias("wsum"))
+    # normalized transition weight once, not per iteration
+    trans = sym.join(outw, "u").select(
+        "u", "v", (F.col("w") / F.col("wsum")).alias("tw")
+    ).localCheckpoint(eager=True)
+    n = trans.select("u").distinct().count()
+    base = (1.0 - damping) / n
+    p = trans.select(F.col("u").alias("node")).distinct().withColumn(
+        "p", F.lit(1.0 / n)
+    )
+    for i in range(iters):
+        p = (
+            trans.join(p, trans.u == p.node)
+            .groupBy("v")
+            .agg(
+                (F.lit(base) + F.lit(damping) * F.sum(F.col("tw") * F.col("p")))
+                .alias("p")
+            )
+            .select(F.col("v").alias("node"), "p")
+        )
+        if (i + 1) % 5 == 0:
+            p = p.localCheckpoint(eager=True)
+    return p

@@ -151,3 +151,78 @@ def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+TR_ITERS = 15
+TR_DAMP = 0.85
+TR_TOP = 20
+
+
+def _textrank_oracle() -> str:
+    """Unrolled power-iteration oracle: recursive CTEs can't aggregate
+    in the recursive term (Postgres/DuckDB rule), so the fixed
+    {TR_ITERS} PageRank rounds are generated as chained CTEs, each
+    MATERIALIZED — DuckDB inlines plain CTEs, which would re-expand
+    the whole token->bigram pipeline once per unrolled round
+    (measured 44s -> <1s). The damping base is written as
+    (1.0 - 0.85) so both engines execute the same IEEE
+    subtraction."""
+    steps = []
+    for i in range(1, TR_ITERS + 1):
+        steps.append(
+            f"p{i} AS MATERIALIZED (SELECT tr.v AS node, "
+            f"(1.0 - {TR_DAMP})/(SELECT n FROM nn) "
+            f"+ {TR_DAMP} * sum(tr.tw * p{i-1}.p) AS p "
+            f"FROM tr JOIN p{i-1} ON p{i-1}.node = tr.u GROUP BY tr.v)"
+        )
+    chain = ", ".join(steps)
+    return f"""
+    WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+    bg AS (SELECT unnest(list_transform(
+               generate_series(1, greatest(len(l) - 1, 1)),
+               i -> concat_ws(' ', l[i], l[i+1]))) AS bg FROM t),
+    pr0 AS (SELECT split_part(bg, ' ', 1) AS u, split_part(bg, ' ', 2) AS v
+            FROM bg WHERE split_part(bg, ' ', 2) <> ''),
+    e AS (SELECT u, v, CAST(count(*) AS DOUBLE) AS w
+          FROM (SELECT u, v FROM pr0
+                UNION ALL SELECT v AS u, u AS v FROM pr0)
+          GROUP BY u, v),
+    outw AS (SELECT u, sum(w) AS W FROM e GROUP BY u),
+    tr AS MATERIALIZED (SELECT e.u, e.v, e.w / outw.W AS tw
+           FROM e JOIN outw ON outw.u = e.u),
+    nn AS MATERIALIZED (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS n FROM tr),
+    p0 AS (SELECT u AS node, 1.0/(SELECT n FROM nn) AS p
+           FROM (SELECT DISTINCT u FROM tr)),
+    {chain}
+    SELECT node AS tok, round(p, 6) AS score
+    FROM p{TR_ITERS}
+    ORDER BY score DESC, tok LIMIT {TR_TOP}
+    """
+
+
+@query("llm_textrank", oracle=_textrank_oracle())
+def llm_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (L4): weighted PageRank over the
+    token co-occurrence (bigram) graph — the classic unsupervised
+    keyword/salience scorer for corpus triage. The iterative operator
+    is operators/graph.py:pagerank; each round shuffles only
+    |vocab|-sized tables, never the corpus, so 15 rounds cost the
+    same shape at 100 TB as at sf0.01 once the one bigram count is
+    done."""
+    from etl_framework_spark.operators.graph import pagerank
+    from etl_framework_spark.operators.textops import shingles
+
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(tokens("text").alias("l"))
+    bg = t.select(F.explode(shingles("l", 2)).alias("bg"))
+    pairs = bg.select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("src"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("dst"),
+    ).filter(F.col("dst") != "")
+    pr = pagerank(pairs, iters=TR_ITERS, damping=TR_DAMP)
+    return (
+        pr.select(F.col("node").alias("tok"), F.round("p", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "tok")
+        .limit(TR_TOP)
+    )

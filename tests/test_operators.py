@@ -250,3 +250,30 @@ def test_heavy_hitters_rejects_unsound_frac(spark):
     toks = spark.createDataFrame([("x",)], "tok string")
     with pytest.raises(ValueError):
         heavy_hitters(toks, frac=0.001, k=64)  # 0.001 <= 1/65
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank() must equal the dense numpy power iteration on a
+    small weighted graph (same symmetrization, same fixed rounds)."""
+    import numpy as np
+
+    from etl_framework_spark.operators.graph import pagerank
+
+    edges = [(0, 1, 3.0), (1, 2, 1.0), (2, 0, 2.0), (3, 0, 1.0), (3, 4, 5.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r["node"]: r["p"]
+        for r in pagerank(df, weight="w", iters=12, damping=0.85).collect()
+    }
+
+    n = 5
+    W = np.zeros((n, n))
+    for u, v, w in edges:
+        W[u, v] += w
+        W[v, u] += w
+    T = W / W.sum(axis=1, keepdims=True)  # row-stochastic
+    p = np.full(n, 1.0 / n)
+    for _ in range(12):
+        p = (1 - 0.85) / n + 0.85 * (T.T @ p)
+    for i in range(n):
+        assert abs(got[i] - p[i]) < 1e-9, (i, got[i], p[i])
