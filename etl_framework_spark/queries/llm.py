@@ -490,14 +490,36 @@ def mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("doc_id", "frame_idx", "frame_bytes")
 
 
-@query("llm_dedup_cc")  # rows-only: iterative fixpoint, not SQL-expressible
+@query(
+    "llm_dedup_cc",
+    oracle=_duck_minhash_cte().replace("WITH toksets", "WITH RECURSIVE toksets", 1)
+    + """,
+    bmins AS MATERIALIZED (SELECT band, bkey, min(doc_id) AS bmin
+                           FROM bands GROUP BY 1, 2),
+    e AS MATERIALIZED (SELECT DISTINCT b.doc_id AS pa, m.bmin AS pb
+         FROM bands b JOIN bmins m ON b.band = m.band AND b.bkey = m.bkey
+         WHERE b.doc_id <> m.bmin),
+    sym AS MATERIALIZED (SELECT pa, pb FROM e
+                         UNION SELECT pb AS pa, pa AS pb FROM e),
+    reach AS (SELECT doc_id AS node, doc_id AS r FROM documents
+              UNION
+              SELECT reach.node, s.pb AS r
+              FROM reach JOIN sym s ON s.pa = reach.r)
+    SELECT node AS doc_id, min(r) AS component, node = min(r) AS keep
+    FROM reach GROUP BY node
+    """,
+)
 def llm_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters (L2 fixpoint): label propagation
     over the LSH band graph until convergence. The one-pass bucket-min
     of llm_dedup_minhash under-merges chains (A~B~C where A,C never
     share a bucket); this converges to the true connected components.
     Star edges (doc -> bucket min) keep the edge list O(n·bands), not
-    O(clique²). Unit-tested against a union-find reference."""
+    O(clique²). Unit-tested against a union-find reference; the exact
+    oracle is a DuckDB RECURSIVE closure (UNION-deduped reachability →
+    min reachable id), which is affordable because near-dup components
+    have tiny diameter even when they are a large fraction of the
+    corpus."""
     prep(spark)
     from etl_framework_spark.operators.graph import connected_components
 
