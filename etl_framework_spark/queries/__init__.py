@@ -31,9 +31,11 @@ for _m in [
     "analytics",
     "quality",
     "lm_stats",
+    "extras7",
+    "cluster_q",
 ]:
-    try:
-        __import__(f"etl_framework_spark.queries.{_m}")
-        _MODULES.append(_m)
-    except ImportError:
-        pass
+    # No try/except: a broken module must fail HERE, at import time —
+    # swallowing ImportError would silently drop its keys from the
+    # contract surface the driver compares against.
+    __import__(f"etl_framework_spark.queries.{_m}")
+    _MODULES.append(_m)

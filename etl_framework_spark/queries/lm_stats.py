@@ -153,6 +153,70 @@ def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_bigram_logprob",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    bi AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, greatest(len(l) - 1, 1)),
+                         i -> concat_ws(' ', l[i], l[i+1]))) AS bg
+           FROM t),
+    pairs AS (SELECT doc_id, split_part(bg, ' ', 1) AS u,
+                     split_part(bg, ' ', 2) AS v
+              FROM bi WHERE split_part(bg, ' ', 2) <> ''),
+    c2 AS (SELECT u, v, count(*) AS c FROM pairs GROUP BY u, v),
+    toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    c1 AS (SELECT tok AS u, count(*) AS c FROM toks GROUP BY u),
+    vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v_sz FROM toks)
+    SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((CAST(c2.c AS DOUBLE) + 1.0)
+                        / (CAST(c1.c AS DOUBLE) + vv.v_sz))), 6) AS avg_logprob
+    FROM pairs p
+    JOIN c2 ON c2.u = p.u AND c2.v = p.v
+    JOIN c1 ON c1.u = p.u
+    CROSS JOIN vv
+    GROUP BY p.doc_id
+    """,
+)
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability with add-1 smoothing —
+    one order up from the unigram score: catches shuffled/templated
+    word salad the unigram model scores as normal. Model tables
+    (bigram counts, unigram counts, |V|) are vocab-sized aggregates of
+    one token scan, broadcast back onto the per-doc bigram stream."""
+    from etl_framework_spark.operators.textops import shingles
+
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("l"))
+    pairs = (
+        t.select("doc_id", F.explode(shingles("l", 2)).alias("bg"))
+        .select(
+            "doc_id",
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("u"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("v"),
+        )
+        .filter(F.col("v") != "")
+    )
+    c2 = pairs.groupBy("u", "v").agg(F.count("*").alias("c2"))
+    toks = _toks(spark, sf_dir)
+    c1 = toks.groupBy("tok").agg(F.count("*").alias("c1")).withColumnRenamed("tok", "u")
+    vv = toks.agg(F.countDistinct("tok").cast("double").alias("v_sz"))
+    lp = F.log(
+        (F.col("c2").cast("double") + 1.0) / (F.col("c1").cast("double") + F.col("v_sz"))
+    )
+    return (
+        pairs.join(F.broadcast(c2), ["u", "v"])
+        .join(F.broadcast(c1), "u")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+    )
+
+
 TR_ITERS = 15
 TR_DAMP = 0.85
 TR_TOP = 20

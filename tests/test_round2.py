@@ -1,0 +1,178 @@
+"""Unit tests for the round-2 operator batch (extras7.py, cluster_q.py):
+algebraic invariants cheap enough for sf0.001 — the exact-value gate is
+tools/check.py against the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as ent
+from etl_framework_spark.catalog import table
+from tests.conftest import SF_SMALL
+
+
+def test_kmeans_partitions_corpus(spark):
+    """Cluster sizes sum to the corpus size; at most k clusters."""
+    pdf = ent.queries()["llm_kmeans"](spark, SF_SMALL).toPandas()
+    n = table(spark, SF_SMALL, "embeddings").count()
+    assert pdf.n_members.sum() == n
+    assert len(pdf) <= 8
+    assert pdf.cid.between(0, 7).all()
+
+
+def test_kmeans_improves_on_init(spark):
+    """Iteration-2 assignment can't be worse than assigning everything
+    to iteration-1 centroids chosen at init: total within-cluster
+    distance must not increase across the Lloyd step (standard
+    monotonicity of k-means)."""
+    from etl_framework_spark.queries.cluster_q import K, _assign, _update, sqdist_fold
+
+    emb = table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    from pyspark.sql import Window as W
+
+    init = (
+        emb.orderBy("vec_id")
+        .limit(K)
+        .withColumn("rn", F.row_number().over(W.orderBy("vec_id")))
+        .select((F.col("rn") - 1).cast("int").alias("cid"), F.col("embedding").alias("c"))
+    )
+
+    def cost(assigned, cents) -> float:
+        joined = assigned.join(cents, "cid").select(
+            sqdist_fold(F.col("embedding"), F.col("c")).alias("d")
+        )
+        return joined.agg(F.sum("d")).collect()[0][0]
+
+    a1 = _assign(emb, init)
+    cent1 = _update(a1)
+    a2 = _assign(emb, cent1)
+    # cost of a2 under cent1 <= cost of a1 under cent1 (reassignment step)
+    assert cost(a2, cent1) <= cost(a1, cent1) + 1e-9
+
+
+def test_zorder_roundtrip(spark):
+    """Z-values deinterleave back to the original coordinates."""
+    pdf = ent.queries()["fn_zorder"](spark, SF_SMALL).toPandas().head(200)
+
+    def deinterleave(z: int) -> tuple[int, int]:
+        x = y = 0
+        for i in range(16):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    for r in pdf.itertuples():
+        assert deinterleave(int(r.zval)) == (int(r.zx), int(r.zy))
+
+
+def test_zorder_locality(spark):
+    """Sorting by zval clusters both dimensions: each contiguous block
+    of the z-sorted table must span a much smaller x- and y-range than
+    the full domain (the data-skipping property cluster_by exploits)."""
+    pdf = (
+        ent.queries()["fn_zorder"](spark, SF_SMALL)
+        .toPandas()
+        .sort_values("zval")
+        .reset_index(drop=True)
+    )
+    n_blocks = 8
+    block = max(len(pdf) // n_blocks, 1)
+    x_dom = pdf.zx.max() - pdf.zx.min() + 1
+    y_dom = pdf.zy.max() - pdf.zy.min() + 1
+    x_spans, y_spans = [], []
+    for b in range(n_blocks):
+        blk = pdf.iloc[b * block : (b + 1) * block]
+        if len(blk) == 0:
+            continue
+        x_spans.append(blk.zx.max() - blk.zx.min() + 1)
+        y_spans.append(blk.zy.max() - blk.zy.min() + 1)
+    # average per-block span must beat the full domain on BOTH dims
+    assert sum(x_spans) / len(x_spans) < x_dom
+    assert sum(y_spans) / len(y_spans) < y_dom
+
+
+def test_ivm_merge_equals_recompute(spark):
+    """Partial-state merge == direct full aggregation."""
+    merged = ent.queries()["ivm_merge"](spark, SF_SMALL)
+    ev = table(spark, SF_SMALL, "events").withColumn(
+        "tts", F.date_trunc("second", F.col("ts"))
+    )
+    direct = ev.groupBy(
+        F.date_trunc("day", F.col("tts")).alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_salted_join_matches_plain(spark):
+    """Salting must be invisible: same multiset as the plain join."""
+    salted = ent.queries()["join_salted"](spark, SF_SMALL)
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    supp = table(spark, SF_SMALL, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    plain = li.join(supp, li.l_suppkey == supp.s_suppkey).select(
+        "l_orderkey", "l_linenumber", "s_name", "s_nationkey"
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_equidepth_buckets_balanced(spark):
+    """Equi-depth: bucket sizes differ by at most 1 and cover the table."""
+    pdf = ent.queries()["stats_equidepth"](spark, SF_SMALL).toPandas()
+    total = table(spark, SF_SMALL, "orders").count()
+    assert pdf.n.sum() == total
+    assert pdf.n.max() - pdf.n.min() <= 1
+    # bucket ranges are ordered: lo of bucket b+1 >= hi of bucket b
+    pdf = pdf.sort_values("bucket").reset_index(drop=True)
+    for i in range(len(pdf) - 1):
+        assert pdf.lo[i + 1] >= pdf.hi[i] - 1e-9
+
+
+def test_moving_median_bounds(spark):
+    """A median always lies within the min/max of its frame — check
+    against a pandas recomputation on one user."""
+    pdf = (
+        ent.queries()["win_moving_median"](spark, SF_SMALL)
+        .toPandas()
+        .sort_values("event_id")
+    )
+    ev = (
+        table(spark, SF_SMALL, "events")
+        .select("event_id", "user_id", "value", F.date_trunc("second", "ts").alias("tts"))
+        .toPandas()
+        .sort_values(["user_id", "tts", "event_id"])
+    )
+    got = dict(zip(pdf.event_id, pdf.med7))
+    for uid, grp in ev.groupby("user_id"):
+        med = grp.value.rolling(7, min_periods=1).median()
+        for eid, want in zip(grp.event_id, med):
+            assert abs(got[eid] - want) < 1e-6
+
+
+def test_markov_probs_normalize(spark):
+    """Per-prev-state probabilities sum to 1."""
+    pdf = ent.queries()["events_markov"](spark, SF_SMALL).toPandas()
+    sums = pdf.groupby("prev_type").p.sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+
+
+def test_scrub_removes_patterns(spark):
+    """After scrubbing, no digit runs or >=12-letter tokens remain."""
+    d = table(spark, SF_SMALL, "documents")
+    scrubbed = d.select(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "[0-9]+", "<num>"),
+            "[A-Za-z]{12,}",
+            "<long>",
+        ).alias("s")
+    )
+    bad = scrubbed.filter(
+        F.col("s").rlike("[0-9]") | F.col("s").rlike("[A-Za-z]{12,}")
+    ).count()
+    assert bad == 0
