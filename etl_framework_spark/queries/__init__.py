@@ -32,7 +32,9 @@ for _m in [
     "quality",
     "lm_stats",
     "extras7",
+    "extras8",
     "cluster_q",
+    "profiling",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the

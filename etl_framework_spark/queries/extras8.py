@@ -1,0 +1,169 @@
+"""Round-2 batch 2: graph triangle counting and activity streaks.
+
+Both are join/window dataflows with exact DuckDB oracles — no
+iteration, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_framework_spark.catalog import table
+from etl_framework_spark.operators.textops import shingles, tokens
+from etl_framework_spark.registry import query
+from etl_framework_spark.session import prep
+
+TRI_TOP = 60  # graph restricted to the top-N tokens by frequency
+
+
+# --------------------------------------------------------------------------
+# Graph — triangle counting over the token co-occurrence graph
+# --------------------------------------------------------------------------
+@query(
+    "graph_triangles",
+    oracle=f"""
+    WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+    bg AS (SELECT unnest(list_transform(
+               generate_series(1, greatest(len(l) - 1, 1)),
+               i -> concat_ws(' ', l[i], l[i+1]))) AS bg FROM t),
+    pr AS (SELECT split_part(bg, ' ', 1) AS u, split_part(bg, ' ', 2) AS v
+           FROM bg WHERE split_part(bg, ' ', 2) <> ''),
+    toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    top AS (SELECT tok FROM (
+              SELECT tok, count(*) AS c FROM toks GROUP BY tok
+              ORDER BY c DESC, tok LIMIT {TRI_TOP})),
+    e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM pr
+          WHERE u <> v AND u IN (SELECT tok FROM top)
+                       AND v IN (SELECT tok FROM top)),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    roles AS (SELECT a AS node FROM tri UNION ALL
+              SELECT b FROM tri UNION ALL
+              SELECT c FROM tri)
+    SELECT node, count(*) AS n_tri FROM roles GROUP BY node
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the (top-{60}-token) co-occurrence
+    graph — the clustering-coefficient numerator used for community/
+    spam structure detection. The a<b<c orientation makes each
+    triangle enumerate exactly once, so the count is two self-joins on
+    an edge list that is already deduped and bounded; at 100 TB the
+    same orientation trick keeps the join sizes |E|·avg-degree, and
+    the node filter becomes a degree threshold instead of top-N."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(tokens("text").alias("l"))
+    pr = (
+        t.select(F.explode(shingles("l", 2)).alias("bg"))
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("u"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("v"),
+        )
+        .filter((F.col("v") != "") & (F.col("u") != F.col("v")))
+    )
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(TRI_TOP)
+        .select("tok")
+    )
+    e = (
+        pr.join(F.broadcast(top), pr.u == top.tok).drop("tok")
+        .join(F.broadcast(top), pr.v == top.tok).drop("tok")
+        .select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+        )
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    roles = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return roles.groupBy("node").agg(F.count("*").alias("n_tri"))
+
+
+# --------------------------------------------------------------------------
+# Event analytics — longest same-type activity streak per user
+# --------------------------------------------------------------------------
+@query(
+    "events_streaks",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             date_trunc('second', ts) AS tts, event_id,
+             CASE WHEN event_type IS DISTINCT FROM
+                  lag(event_type) OVER (
+                    PARTITION BY user_id
+                    ORDER BY date_trunc('second', ts), event_id)
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    x AS (
+      SELECT user_id, event_type,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY tts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM seq),
+    lens AS (SELECT user_id, island, count(*) AS len
+             FROM x GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM lens GROUP BY user_id
+    """,
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest same-event-type run per user (gaps-and-islands): a
+    change flag via lag, a running sum to number islands, then two
+    bounded aggregations. All windows hash-partition on user_id —
+    state bounded by one user's history, never the table."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").withColumn(
+        "tts", F.date_trunc("second", F.col("ts"))
+    )
+    wo = W.partitionBy("user_id").orderBy("tts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "tts",
+        "event_id",
+        F.when(
+            ~F.col("event_type").eqNullSafe(
+                F.lag("event_type").over(wo)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    x = seq.select(
+        "user_id",
+        "event_type",
+        F.sum("brk").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "island"
+        ),
+    )
+    lens = x.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return lens.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )
