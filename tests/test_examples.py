@@ -70,3 +70,22 @@ def test_json_docstore_export_job(spark):
         {"format": "parquet", "path": "/root/repo/.scratch/example_docs_clustered"},
     )
     assert clustered.count() == rel["gated"].count()
+
+
+def test_yaml_training_mix_job(spark):
+    rel = run_pipeline_file(spark, f"{EXAMPLES}/training_mix.yaml")
+    out = spark.table("example_training_mix")
+    assert set(out.columns) == {"split", "lang", "n_docs", "total_tokens"}
+    rows = out.collect()
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert set(by_split) == {"train", "valid"}
+    # ~90/10 hash split: valid share must land well inside (2%, 25%)
+    total = sum(by_split.values())
+    assert 0.02 < by_split["valid"] / total < 0.25
+    # split is deterministic: rerunning yields identical rows
+    rel2 = run_pipeline_file(spark, f"{EXAMPLES}/training_mix.yaml")
+    assert sorted(map(str, rows)) == sorted(
+        map(str, spark.table("example_training_mix").collect())
+    )

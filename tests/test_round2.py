@@ -176,3 +176,102 @@ def test_scrub_removes_patterns(spark):
         F.col("s").rlike("[0-9]") | F.col("s").rlike("[A-Za-z]{12,}")
     ).count()
     assert bad == 0
+
+
+# --------------------------------------------------------------------------
+# Plan assertions for round-2 ops (SURVEY.md §3.3)
+# --------------------------------------------------------------------------
+def test_kmeans_broadcasts_centroids(spark):
+    """Both assignment stages must broadcast the k-row centroid side —
+    a SortMergeJoin would shuffle the corpus per iteration."""
+    from etl_framework_spark.plans import assert_in_plan
+
+    assert_in_plan(
+        ent.queries()["llm_kmeans"](spark, SF_SMALL),
+        "BroadcastExchange",
+        absent=("SortMergeJoin",),
+    )
+
+
+def test_salted_join_stays_broadcast(spark):
+    """16x-replicated supplier is still broadcast-sized; salting must
+    not force a shuffle join."""
+    from etl_framework_spark.plans import assert_in_plan
+
+    assert_in_plan(
+        ent.queries()["join_salted"](spark, SF_SMALL),
+        "BroadcastHashJoin",
+        absent=("SortMergeJoin",),
+    )
+
+
+def test_zorder_no_shuffle(spark):
+    """Z-value computation is pure per-row arithmetic — no exchange."""
+    from etl_framework_spark.plans import assert_in_plan
+
+    assert_in_plan(
+        ent.queries()["fn_zorder"](spark, SF_SMALL), "Project", absent=("Exchange",)
+    )
+
+
+def test_ivm_merge_partial_aggs(spark):
+    """State and delta aggregations must map-side combine."""
+    from etl_framework_spark.plans import assert_in_plan
+
+    plan = assert_in_plan(ent.queries()["ivm_merge"](spark, SF_SMALL), "HashAggregate")
+    assert plan.count("HashAggregate") >= 2
+
+
+# --------------------------------------------------------------------------
+# Streaming twin: stateful EWMA (backs the win_ewma docstring claim)
+# --------------------------------------------------------------------------
+def test_stream_ewma_matches_batch_fold(spark):
+    """Full-history EWMA kept as per-user state in
+    applyInPandasWithState must equal the batch strict fold."""
+    import pandas as pd
+    import pytest as _pytest
+
+    try:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+    except ImportError:
+        _pytest.skip("applyInPandasWithState state API not available")
+
+    from etl_framework_spark.streaming.harness import replay_events
+
+    ALPHA = 0.3
+
+    def ewma_state(key, pdfs, state):
+        s = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                s = float(v) if s is None else s * (1 - ALPHA) + float(v) * ALPHA
+        state.update((s,))
+        yield pd.DataFrame({"user_id": [key[0]], "ewma": [s]})
+
+    def transform(ev):
+        return ev.groupBy("user_id").applyInPandasWithState(
+            ewma_state,
+            outputStructType="user_id bigint, ewma double",
+            stateStructType="s double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    stream = replay_events(spark, SF_SMALL, transform, "update")
+    got = {r.user_id: r.ewma for r in stream.collect()}
+
+    # batch strict fold over the full per-user history, same order
+    from pyspark.sql import Window as W
+
+    ev = (
+        table(spark, SF_SMALL, "events")
+        .select("user_id", "value", F.date_trunc("second", "ts").alias("tts"), "event_id")
+        .toPandas()
+        .sort_values(["user_id", "tts", "event_id"])
+    )
+    for uid, grp in ev.groupby("user_id"):
+        s = None
+        for v in grp["value"]:
+            s = float(v) if s is None else s * (1 - ALPHA) + float(v) * ALPHA
+        assert abs(got[uid] - s) < 1e-9
