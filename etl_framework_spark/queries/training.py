@@ -384,3 +384,94 @@ def train_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     )
+
+
+_UPSAMPLE = {"en": 1, "es": 2, "de": 2, "fr": 3, "zh": 4}
+_UP_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _UPSAMPLE.items()
+)
+
+
+@query(
+    "mix_upsample",
+    oracle=f"""
+    WITH rep AS (SELECT doc_id, lang,
+                        CASE lang {_UP_CASE} ELSE 1 END AS n_rep
+                 FROM documents)
+    SELECT doc_id, lang, CAST(unnest(generate_series(1, n_rep)) AS INT) AS copy_id
+    FROM rep
+    """,
+)
+def mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch up-sampling: low-resource languages repeat n_rep times
+    (the repeat-factor mixture used when a source is smaller than its
+    target share). explode(sequence(1, n)) multiplies rows WITHOUT a
+    shuffle — each task expands its own partition; downstream shuffles
+    see the already-weighted stream. Deterministic (no RNG), and
+    copy_id lets later stages shuffle-salt repeated docs apart."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    n_rep = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in _UPSAMPLE.items()
+        ],
+        F.lit(1),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1), n_rep)).alias("copy_id"),
+    ).select("doc_id", "lang", F.col("copy_id").cast("int").alias("copy_id"))
+
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # overlap = _CHUNK - _STRIDE tokens
+
+
+@query(
+    "llm_chunk_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    starts AS (
+      SELECT doc_id, l,
+             unnest(generate_series(1, greatest(len(l) - 1, 1), {_STRIDE}))
+               AS start
+      FROM t)
+    SELECT doc_id,
+           CAST((start - 1) // {_STRIDE} AS INT) AS chunk_id,
+           array_to_string(list_slice(l, start,
+               least(start + {_CHUNK} - 1, len(l))), ' ') AS chunk_text,
+           CAST(least(start + {_CHUNK} - 1, len(l)) - start + 1 AS INT)
+             AS n_tokens
+    FROM starts
+    WHERE start <= len(l)
+    """,
+)
+def llm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping {32}-token windows with a
+    {24}-token stride (the standard long-document preprocessing before
+    tokenizer sharding). One sequence-explode per doc then pure array
+    slicing — no shuffle at all; chunk counts scale with token volume,
+    not document count, so a 100 TB corpus chunks in one map stage."""
+    prep(spark)
+    from etl_framework_spark.operators.textops import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("l"))
+    n = F.size("l")
+    starts = t.select(
+        "doc_id",
+        "l",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)), F.lit(_STRIDE))
+        ).alias("start"),
+    ).filter(F.col("start") <= F.size("l"))
+    end = F.least(F.col("start") + F.lit(_CHUNK - 1), F.size("l"))
+    length = end - F.col("start") + 1
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / F.lit(_STRIDE)).cast("int").alias("chunk_id"),
+        F.array_join(F.slice("l", F.col("start"), length), " ").alias("chunk_text"),
+        length.cast("int").alias("n_tokens"),
+    )
