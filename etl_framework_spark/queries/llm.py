@@ -144,6 +144,51 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("llm_dedup_minhash_fast")  # rows-only: xxhash64 is Spark-native
+def llm_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MinHash path: identical band/cluster pipeline to
+    llm_dedup_minhash but signatures are min(xxhash64(token, seed_i))
+    — one cheap JVM hash per (token, perm) instead of md5 hex
+    slicing. No DuckDB twin (xxhash64 is Spark-specific), so this key
+    is rows-only; tests/test_round2.py asserts keep-decision agreement
+    with the oracle-checked md5 variant. At 100 TB this is the
+    variant you run; the md5 form exists to PROVE the pipeline."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    toksets = docs.select("doc_id", F.array_distinct(tokens("text")).alias("ts"))
+
+    def perm(i):
+        return lambda t: F.xxhash64(t, F.lit(i))
+
+    sigs = toksets.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("ts"), perm(i))).alias(f"s{i}")
+            for i in range(MINHASH_K)
+        ],
+    )
+    r = MINHASH_ROWS_PER_BAND
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"s{b * r + i}") for i in range(r)]).alias("bkey"),
+        )
+        for b in range(MINHASH_K // r)
+    ]
+    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
+    )
+    bmins = bands.groupBy("band", "bkey").agg(F.min("doc_id").alias("bmin"))
+    clusters = (
+        bands.join(bmins, ["band", "bkey"])
+        .groupBy("doc_id")
+        .agg(F.min("bmin").alias("cluster_id"))
+    )
+    return clusters.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
+    )
+
+
 # --------------------------------------------------------------------------
 # L2b — metadata-blocked exact n-gram Jaccard
 # --------------------------------------------------------------------------

@@ -275,3 +275,29 @@ def test_stream_ewma_matches_batch_fold(spark):
         for v in grp["value"]:
             s = float(v) if s is None else s * (1 - ALPHA) + float(v) * ALPHA
         assert abs(got[uid] - s) < 1e-9
+
+
+def test_minhash_fast_agrees_with_md5(spark):
+    """The xxhash64 production path must make broadly the same
+    keep-decisions as the md5 oracle-checked variant. This synthetic
+    corpus is DENSE (median pairwise Jaccard ≈ 0.66, right in the
+    1-(1-s^8)^2 band-collision transition zone), so different hash
+    families legitimately disagree on borderline pairs — measured
+    ≈83% per-doc agreement; on a real sparse corpus (s « τ for
+    non-dups) both families converge. Assert the honest floor plus
+    keep-RATE similarity."""
+    SF_MID = "/root/testdata/sf0.01"
+    md5 = {
+        r.doc_id: r.keep
+        for r in ent.queries()["llm_dedup_minhash"](spark, SF_MID).collect()
+    }
+    fast = {
+        r.doc_id: r.keep
+        for r in ent.queries()["llm_dedup_minhash_fast"](spark, SF_MID).collect()
+    }
+    assert set(md5) == set(fast)
+    agree = sum(1 for d in md5 if md5[d] == fast[d])
+    assert agree / len(md5) >= 0.75
+    rate_md5 = sum(md5.values()) / len(md5)
+    rate_fast = sum(fast.values()) / len(fast)
+    assert abs(rate_md5 - rate_fast) < 0.10
