@@ -35,6 +35,7 @@ for _m in [
     "extras8",
     "cluster_q",
     "profiling",
+    "bpe_q",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the

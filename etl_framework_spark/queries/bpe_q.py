@@ -1,0 +1,165 @@
+"""BPE tokenizer training (SURVEY.md §2.11 L4 extension): learn the
+first R byte-pair merges over the corpus word types — the second
+genuinely *iterative* training operator (after llm_kmeans), with an
+exact DuckDB oracle that replays every round.
+
+State per round is the word-type table (word, freq, sym) where `sym`
+is the word's current segmentation encoded as a sentinel-joined
+symbol string ('~c~a~t~'); a merge of pair (u, v) is THREE passes of
+literal replace('~u~v~' → '~uv~') — three passes make the left-to-
+right non-overlapping replace equivalent to greedy BPE merging for
+the run/alternation cases ('aaa', 'abab'), and both engines execute
+the identical pass count so results match exactly. Pair weights are
+word-frequency-weighted; ties break on the pair string.
+
+Scale: every round touches only the |word types| table (bounded —
+top-W by frequency), never the corpus; the corpus is scanned once for
+the initial frequency count. This is exactly how production BPE
+trainers run on massive corpora: count once, iterate on the vocab.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_framework_spark.catalog import table
+from etl_framework_spark.operators.textops import tokens
+from etl_framework_spark.registry import query
+from etl_framework_spark.session import prep
+
+BPE_TYPES = 150  # word types kept (top by freq, tie → lexicographic)
+BPE_ROUNDS = 3
+
+
+def _sym_array(sym: Column) -> Column:
+    return F.filter(F.split(sym, "~"), lambda x: x != "")
+
+
+def _pair_strings(sym: Column) -> Column:
+    """Adjacent symbol pairs as 'u~v' strings; empty for 1-symbol words.
+    (Guarded: Spark's sequence(1, 0) would count DOWN, not empty.)"""
+    arr = _sym_array(sym)
+    n = F.size(arr)
+    pairs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at(arr, i), F.lit("~"), F.element_at(arr, i + 1)),
+    )
+    return F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
+
+
+def _merge3(sym: Column, u: Column, v: Column) -> Column:
+    pat = F.concat(F.lit("~"), u, F.lit("~"), v, F.lit("~"))
+    rep = F.concat(F.lit("~"), u, v, F.lit("~"))
+    out = sym
+    for _ in range(3):
+        out = F.replace(out, pat, rep)
+    return out
+
+
+def _duck_pairs(state: str, idx: int) -> str:
+    """Pair-weight CTEs for one round over state table `state`."""
+    return f"""
+    arr{idx} AS (SELECT freq, list_filter(string_split(sym, '~'),
+                        x -> x <> '') AS a FROM {state}),
+    pr{idx} AS (SELECT freq, unnest(list_transform(
+                    generate_series(1, len(a) - 1),
+                    i -> a[i] || '~' || a[i+1])) AS p
+                FROM arr{idx} WHERE len(a) >= 2),
+    t{idx} AS (SELECT split_part(p, '~', 1) AS u, split_part(p, '~', 2) AS v,
+                      CAST(sum(freq) AS BIGINT) AS w
+               FROM pr{idx} GROUP BY p
+               ORDER BY w DESC, u, v LIMIT 1)"""
+
+
+def _duck_merge(prev: str, idx: int) -> str:
+    r3 = "sym"
+    for _ in range(3):
+        r3 = (
+            f"replace({r3}, '~' || t{idx}.u || '~' || t{idx}.v || '~',"
+            f" '~' || t{idx}.u || t{idx}.v || '~')"
+        )
+    return f"""
+    s{idx + 1} AS (SELECT word, freq, {r3} AS sym
+                   FROM {prev} CROSS JOIN t{idx})"""
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    w0 AS (SELECT tok AS word, count(*) AS freq FROM toks GROUP BY tok
+           ORDER BY freq DESC, word LIMIT {BPE_TYPES}),
+    s1 AS (SELECT word, freq,
+                  '~' || regexp_replace(word, '(.)', '\\1~', 'g') AS sym
+           FROM w0)"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append("," + _duck_pairs(f"s{r}", r))
+        if r < BPE_ROUNDS:
+            parts.append("," + _duck_merge(f"s{r}", r))
+    selects = [
+        f"SELECT {r} AS round, u AS sym_a, v AS sym_b, w AS weight FROM t{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    ]
+    return "".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+@query("llm_bpe_merges", oracle=_bpe_oracle())
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {3} BPE merges over the top-{150} word types: per round,
+    weight adjacent symbol pairs by word frequency, take the argmax
+    (tie → lexicographic), merge it everywhere, repeat. Returns the
+    learned merge table (round, sym_a, sym_b, weight) — what a
+    tokenizer trainer persists."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    w0 = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(BPE_TYPES)
+        .select(F.col("tok").alias("word"), "freq")
+    )
+    state = w0.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit("~"), F.regexp_replace(F.col("word"), "(.)", "$1~")
+        ).alias("sym"),
+    )
+    merges: list[DataFrame] = []
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = state.select(
+            "freq", F.explode(_pair_strings(F.col("sym"))).alias("p")
+        )
+        top = (
+            pairs.select(
+                F.split_part(F.col("p"), F.lit("~"), F.lit(1)).alias("u"),
+                F.split_part(F.col("p"), F.lit("~"), F.lit(2)).alias("v"),
+                "freq",
+            )
+            .groupBy("u", "v")
+            .agg(F.sum("freq").alias("w"))
+            .orderBy(F.col("w").desc(), "u", "v")
+            .limit(1)
+        )
+        merges.append(
+            top.select(
+                F.lit(r).alias("round"),
+                F.col("u").alias("sym_a"),
+                F.col("v").alias("sym_b"),
+                F.col("w").alias("weight"),
+            )
+        )
+        if r < BPE_ROUNDS:
+            state = state.crossJoin(F.broadcast(top)).select(
+                "word",
+                "freq",
+                _merge3(F.col("sym"), F.col("u"), F.col("v")).alias("sym"),
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out

@@ -301,3 +301,20 @@ def test_minhash_fast_agrees_with_md5(spark):
     rate_md5 = sum(md5.values()) / len(md5)
     rate_fast = sum(fast.values()) / len(fast)
     assert abs(rate_md5 - rate_fast) < 0.10
+
+
+def test_bpe_merge_weights_monotone(spark):
+    """BPE max-pair weight is non-increasing across rounds: any pair
+    at round r+1 either existed at round r (count can only shrink) or
+    contains the just-merged symbol (count <= the merged pair's)."""
+    pdf = (
+        ent.queries()["llm_bpe_merges"](spark, SF_SMALL)
+        .toPandas()
+        .sort_values("round")
+    )
+    assert list(pdf["round"]) == [1, 2, 3]
+    ws = list(pdf.weight)
+    assert ws[0] >= ws[1] >= ws[2] > 0
+    # learned merges are single-symbol pairs from the corpus charset
+    for r in pdf.itertuples():
+        assert r.sym_a and r.sym_b and "~" not in r.sym_a + r.sym_b
