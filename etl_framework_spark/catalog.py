@@ -32,10 +32,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects
-        # (PARQUET_TYPE_ILLEGAL). Read nanos as epoch-long, then convert
-        # to a µs timestamp with integer division (a double cast would
-        # lose precision above 2^53 ns). SURVEY.md §5.3 rule 4.
+        # events.ts physical type varies by testdata generation:
+        # TIMESTAMP(NANOS) — which Spark rejects (PARQUET_TYPE_ILLEGAL)
+        # unless read as epoch-long and integer-divided to µs (a double
+        # cast would lose precision above 2^53 ns) — or plain µs, which
+        # reads as TimestampType directly and skips the bigint branch.
+        # SURVEY.md §5.3 rule 4.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         if dict(df.dtypes).get("ts") == "bigint":

@@ -7,6 +7,6 @@ through readStream + availableNow and must converge to the batch
 answer (tested in tests/test_streaming.py).
 """
 
-from etl_framework_spark.streaming.harness import replay_events, RAW_EVENTS_SCHEMA
+from etl_framework_spark.streaming.harness import events_stream, replay_events
 
-__all__ = ["replay_events", "RAW_EVENTS_SCHEMA"]
+__all__ = ["replay_events", "events_stream"]

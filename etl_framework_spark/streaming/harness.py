@@ -14,26 +14,45 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# events.parquet physical schema once TIMESTAMP(NANOS) is read as long
-# (see catalog.table): ts arrives as epoch-nanos BIGINT.
-RAW_EVENTS_SCHEMA = (
+# events.ts physical type varies by testdata generation: TIMESTAMP(NANOS)
+# (which Spark must read as epoch-long via nanosAsLong) or plain µs
+# timestamps. Detect from the parquet footer and mirror catalog.table.
+_EVENTS_SCHEMA_NS = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
 )
+_EVENTS_SCHEMA_US = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _ts_is_nanos(sf_dir: str) -> bool:
+    import pyarrow.parquet as pq
+
+    return str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type).endswith(
+        "[ns]"
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the µs-timestamp
     conversion applied — the streaming twin of catalog.table."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file stream source requires a directory or glob (a bare file
     # path fails with "Option 'basePath' must be a directory").
-    raw = (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+    if _ts_is_nanos(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_EVENTS_SCHEMA_NS)
+            .format("parquet")
+            .load(f"{sf_dir}/events.*")
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return (
+        spark.readStream.schema(_EVENTS_SCHEMA_US)
         .format("parquet")
         .load(f"{sf_dir}/events.*")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def replay_events(
