@@ -167,3 +167,115 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak"),
         F.count("*").alias("n_streaks"),
     )
+
+
+# --------------------------------------------------------------------------
+# A11 — multi-quantile aggregation (exact interpolated percentiles)
+# --------------------------------------------------------------------------
+@query(
+    "agg_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS q25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS q50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS q75,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS q95
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile profile per group: one sort per group
+    serves all four interpolated percentiles (Spark's percentile
+    aggregate == DuckDB's quantile_cont — identical linear
+    interpolation on the same doubles)."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("q50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("q75"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("q95"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L4 — per-document character entropy (gibberish/compression signal)
+# --------------------------------------------------------------------------
+@query(
+    "llm_char_entropy",
+    oracle="""
+    WITH ch AS (SELECT doc_id, unnest(string_split(replace(text, ' ', ''), ''))
+                       AS c
+                FROM documents),
+    d AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, sum(n) AS nt FROM d GROUP BY doc_id)
+    SELECT d.doc_id,
+           round(-sum((CAST(n AS DOUBLE) / nt) * ln(CAST(n AS DOUBLE) / nt))
+                 / ln(2), 6) AS char_entropy_bits,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars
+    FROM d JOIN tot ON tot.doc_id = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the character distribution (bits):
+    low entropy flags repeated/templated gibberish, high flags
+    base64-ish noise — a standard cheap quality gate. One explode +
+    two doc-keyed hash aggs; doc_id shuffles are uniform."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.col("text"), " ", ""), "")
+        ).alias("c"),
+    ).filter(F.col("c") != "")
+    d = ch.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    tot = d.groupBy("doc_id").agg(F.sum("n").alias("nt"))
+    p = F.col("n").cast("double") / F.col("nt")
+    return (
+        d.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round((-F.sum(p * F.log(p))) / F.log(F.lit(2.0)), 6).alias(
+                "char_entropy_bits"
+            ),
+            F.count("*").alias("n_distinct_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L2e — boilerplate prefix duplicates
+# --------------------------------------------------------------------------
+@query(
+    "llm_prefix_dups",
+    oracle="""
+    WITH pre AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(string_split(text, ' '), 1, 16),
+                 ' ')) AS prefix_hash
+      FROM documents)
+    SELECT prefix_hash, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc
+    FROM pre GROUP BY prefix_hash HAVING count(*) > 1
+    """,
+)
+def llm_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-opening detection: hash of the first 16 tokens groups
+    documents with identical openings (boilerplate headers, template
+    spam) that full-document dedup misses. md5 keeps the oracle exact;
+    the keep_doc column is the dedup survivor policy (min doc_id)."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    pre = docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(tokens("text"), 1, 16), " ")
+        ).alias("prefix_hash"),
+    )
+    return (
+        pre.groupBy("prefix_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
