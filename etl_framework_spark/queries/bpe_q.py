@@ -105,15 +105,13 @@ def _bpe_oracle() -> str:
     return "".join(parts) + " " + " UNION ALL ".join(selects)
 
 
-@query("llm_bpe_merges", oracle=_bpe_oracle())
-def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First {3} BPE merges over the top-{150} word types: per round,
-    weight adjacent symbol pairs by word frequency, take the argmax
-    (tie → lexicographic), merge it everywhere, repeat. Returns the
-    learned merge table (round, sym_a, sym_b, weight) — what a
-    tokenizer trainer persists."""
-    prep(spark)
-    docs = table(spark, sf_dir, "documents")
+def _sym_init(word: Column) -> Column:
+    return F.concat(F.lit("~"), F.regexp_replace(word, "(.)", "$1~"))
+
+
+def _train(docs: DataFrame) -> list[DataFrame]:
+    """Run BPE_ROUNDS of merge learning; returns one single-row
+    DataFrame (u, v, w) per round, in order."""
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
     w0 = (
         toks.groupBy("tok")
@@ -122,14 +120,8 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BPE_TYPES)
         .select(F.col("tok").alias("word"), "freq")
     )
-    state = w0.select(
-        "word",
-        "freq",
-        F.concat(
-            F.lit("~"), F.regexp_replace(F.col("word"), "(.)", "$1~")
-        ).alias("sym"),
-    )
-    merges: list[DataFrame] = []
+    state = w0.select("word", "freq", _sym_init(F.col("word")).alias("sym"))
+    tops: list[DataFrame] = []
     for r in range(1, BPE_ROUNDS + 1):
         pairs = state.select(
             "freq", F.explode(_pair_strings(F.col("sym"))).alias("p")
@@ -145,21 +137,119 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("w").desc(), "u", "v")
             .limit(1)
         )
-        merges.append(
-            top.select(
-                F.lit(r).alias("round"),
-                F.col("u").alias("sym_a"),
-                F.col("v").alias("sym_b"),
-                F.col("w").alias("weight"),
-            )
-        )
+        tops.append(top)
         if r < BPE_ROUNDS:
             state = state.crossJoin(F.broadcast(top)).select(
                 "word",
                 "freq",
                 _merge3(F.col("sym"), F.col("u"), F.col("v")).alias("sym"),
             )
+    return tops
+
+
+@query("llm_bpe_merges", oracle=_bpe_oracle())
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {3} BPE merges over the top-{150} word types: per round,
+    weight adjacent symbol pairs by word frequency, take the argmax
+    (tie → lexicographic), merge it everywhere, repeat. Returns the
+    learned merge table (round, sym_a, sym_b, weight) — what a
+    tokenizer trainer persists."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    tops = _train(docs)
+    merges = [
+        top.select(
+            F.lit(r + 1).alias("round"),
+            F.col("u").alias("sym_a"),
+            F.col("v").alias("sym_b"),
+            F.col("w").alias("weight"),
+        )
+        for r, top in enumerate(tops)
+    ]
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+def _duck_apply_merges() -> str:
+    """CTE applying t1..t{BPE_ROUNDS} to the full per-lang word table."""
+    sym = "sym0"
+    for r in range(1, BPE_ROUNDS + 1):
+        for _ in range(3):
+            sym = (
+                f"replace({sym}, '~' || t{r}.u || '~' || t{r}.v || '~',"
+                f" '~' || t{r}.u || t{r}.v || '~')"
+            )
+    crosses = " ".join(f"CROSS JOIN t{r}" for r in range(1, BPE_ROUNDS + 1))
+    return f""",
+    wl AS (SELECT lang, tok AS word, count(*) AS freq
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           GROUP BY lang, tok),
+    seg AS (SELECT lang, freq,
+                   len(list_filter(string_split({sym}, '~'), x -> x <> ''))
+                     AS n_syms,
+                   length(word) AS n_chars
+            FROM (SELECT lang, word, freq,
+                         '~' || regexp_replace(word, '(.)', '\\1~', 'g') AS sym0
+                  FROM wl) w {crosses})
+    SELECT lang,
+           CAST(sum(freq) AS BIGINT) AS total_tokens,
+           CAST(sum(freq * n_syms) AS BIGINT) AS total_symbols,
+           CAST(sum(freq * n_chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(freq * n_syms) AS DOUBLE)
+                 / sum(freq * n_chars), 6) AS sym_per_char
+    FROM seg GROUP BY lang
+    """
+
+
+def _bpe_segment_oracle() -> str:
+    # reuse the training CTE chain up to t{BPE_ROUNDS}, then apply
+    base = _bpe_oracle()
+    train_ctes = base[: base.index(" SELECT 1 AS round")]
+    return train_ctes + _duck_apply_merges()
+
+
+@query("llm_bpe_segment", oracle=_bpe_segment_oracle())
+def llm_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to the FULL vocabulary (train on
+    the head, segment everything — the production shape) and report
+    per-language compression: symbols per character after {3} merges.
+    The merge table is three broadcast single-row joins; segmentation
+    is pure string ops on the |vocab|-sized word table, never the
+    corpus."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    tops = _train(docs)
+    toks = docs.select("lang", F.explode(tokens("text")).alias("tok"))
+    wl = toks.groupBy("lang", F.col("tok").alias("word")).agg(
+        F.count("*").alias("freq")
+    )
+    seg = wl.select("lang", "word", "freq", _sym_init(F.col("word")).alias("sym"))
+    for top in tops:
+        t = top.select(
+            F.col("u").alias("__mu"), F.col("v").alias("__mv")
+        )
+        seg = seg.crossJoin(F.broadcast(t)).select(
+            "lang",
+            "word",
+            "freq",
+            _merge3(F.col("sym"), F.col("__mu"), F.col("__mv")).alias("sym"),
+        )
+    counted = seg.select(
+        "lang",
+        "freq",
+        F.size(_sym_array(F.col("sym"))).alias("n_syms"),
+        F.length("word").alias("n_chars"),
+    )
+    return counted.groupBy("lang").agg(
+        F.sum("freq").alias("total_tokens"),
+        F.sum(F.col("freq") * F.col("n_syms")).alias("total_symbols"),
+        F.sum(F.col("freq") * F.col("n_chars")).alias("total_chars"),
+        F.round(
+            F.sum(F.col("freq") * F.col("n_syms")).cast("double")
+            / F.sum(F.col("freq") * F.col("n_chars")),
+            6,
+        ).alias("sym_per_char"),
+    )
