@@ -279,3 +279,53 @@ def llm_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# T6b — full-history EWMA state (batch analog of the stateful stream)
+# --------------------------------------------------------------------------
+@query(
+    "events_ewma_state",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY date_trunc('second', ts), event_id) AS rn
+      FROM events),
+    arrs AS (SELECT user_id, list(value ORDER BY rn) AS vals
+             FROM ordered GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           floor(list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3)
+                 * 1000000 + 0.5) / 1000000 AS ewma
+    FROM arrs
+    """,
+)
+def events_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final full-history EWMA per user — the batch analog of the
+    per-key state a streaming job carries in applyInPandasWithState
+    (tests/test_round2.py proves the stream converges to exactly
+    this). One ordered collect per user (state bounded by one user's
+    history), strict-fold recurrence, tie-safe quantization."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").withColumn(
+        "tts", F.date_trunc("second", F.col("ts"))
+    )
+    arrs = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("tts", "event_id", "value"))
+        ).alias("sv")
+    )
+    vals = F.col("sv.value")
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: acc * F.lit(0.7) + x * F.lit(0.3),
+    )
+    return arrs.select(
+        "user_id",
+        F.size(vals).cast("bigint").alias("n_events"),
+        (F.floor(ewma * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "ewma"
+        ),
+    )
