@@ -36,6 +36,7 @@ for _m in [
     "cluster_q",
     "profiling",
     "bpe_q",
+    "extras9",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
