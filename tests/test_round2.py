@@ -318,3 +318,26 @@ def test_bpe_merge_weights_monotone(spark):
     # learned merges are single-symbol pairs from the corpus charset
     for r in pdf.itertuples():
         assert r.sym_a and r.sym_b and "~" not in r.sym_a + r.sym_b
+
+
+def test_langid_confusion_totals(spark):
+    """Confusion-matrix row sums equal per-language doc counts."""
+    pdf = ent.queries()["llm_langid_confusion"](spark, SF_SMALL).toPandas()
+    truth = (
+        table(spark, SF_SMALL, "documents")
+        .groupBy("lang")
+        .count()
+        .toPandas()
+        .set_index("lang")["count"]
+    )
+    sums = pdf.groupby("meta_lang").n.sum()
+    for lang, n in truth.items():
+        assert sums[lang] == n
+
+
+def test_dedup_cluster_profile_conserves_docs(spark):
+    """Σ n_docs over the histogram == corpus size; dropped = docs-clusters."""
+    pdf = ent.queries()["llm_dedup_cluster_profile"](spark, SF_SMALL).toPandas()
+    n = table(spark, SF_SMALL, "documents").count()
+    assert pdf.n_docs.sum() == n
+    assert (pdf.n_dropped == pdf.n_docs - pdf.n_clusters).all()
