@@ -87,3 +87,127 @@ def llm_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cluster_size").alias("n_docs"),
         (F.sum("cluster_size") - F.count("*")).alias("n_dropped"),
     )
+
+
+# --------------------------------------------------------------------------
+# TS — regular-grid resampling with linear interpolation
+# --------------------------------------------------------------------------
+@query(
+    "ts_resample_interp",
+    oracle="""
+    WITH ev AS (SELECT user_id, date_trunc('second', ts) AS ts, value,
+                       event_id
+                FROM events),
+    bounds AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi
+               FROM ev GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS ts
+             FROM bounds),
+    u AS (SELECT user_id, ts, 0 AS is_grid, value,
+                 COALESCE(event_id, -1) AS event_id FROM ev
+          UNION ALL
+          SELECT user_id, ts, 1, NULL, -1 FROM grid),
+    w AS (SELECT user_id, ts, is_grid,
+                 last_value(value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_grid, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+                 last_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_grid, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+                 first_value(value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_grid, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+                 first_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_grid, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+          FROM u)
+    SELECT user_id, ts AS grid_ts,
+           floor((vp + (vn - vp)
+                  * (CAST(CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(tp)) AS BIGINT) AS DOUBLE)
+                     / (CAST(floor(epoch(tn)) AS BIGINT)
+                        - CAST(floor(epoch(tp)) AS BIGINT))))
+                 * 1000000 + 0.5) / 1000000 AS interp
+    FROM w
+    WHERE is_grid = 1 AND tp IS NOT NULL AND tn IS NOT NULL
+    """,
+)
+def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular event series onto a regular
+    hourly grid with linear interpolation — the time-series op Spark
+    has no primitive for. Union-tag dataflow (same trick as the as-of
+    join): grid points and events interleave in ONE window pass per
+    direction; state is one running (value, ts) pair, so the plan is
+    two windows on the user_id hash — no join, no explosion beyond
+    |grid|. Bits match the oracle exactly: second-epoch deltas are
+    integers, the interpolation arithmetic is identical, and the
+    output is tie-safe floor-quantized."""
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+
+    ev = (
+        _table(spark, sf_dir, "events")
+        .withColumn("tts", F.date_trunc("second", F.col("ts")))
+        .select("user_id", F.col("tts").alias("ts"), "value", "event_id")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("ts"),
+    )
+    u = ev.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_grid"),
+        "value",
+        F.coalesce(F.col("event_id"), F.lit(-1)).alias("event_id"),
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(-1).alias("event_id"),
+        )
+    )
+    wo = W.partitionBy("user_id").orderBy("ts", "is_grid", "event_id")
+    back = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    fwd = wo.rowsBetween(W.currentRow, W.unboundedFollowing)
+    ev_ts = F.when(F.col("is_grid") == 0, F.col("ts"))
+    w = u.select(
+        "user_id",
+        "ts",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(back).alias("vp"),
+        F.last(ev_ts, ignorenulls=True).over(back).alias("tp"),
+        F.first("value", ignorenulls=True).over(fwd).alias("vn"),
+        F.first(ev_ts, ignorenulls=True).over(fwd).alias("tn"),
+    )
+    frac = (
+        (F.unix_timestamp("ts") - F.unix_timestamp("tp")).cast("double")
+        / (F.unix_timestamp("tn") - F.unix_timestamp("tp"))
+    )
+    interp = F.col("vp") + (F.col("vn") - F.col("vp")) * frac
+    return (
+        w.filter(
+            (F.col("is_grid") == 1)
+            & F.col("tp").isNotNull()
+            & F.col("tn").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("grid_ts"),
+            (
+                F.floor(interp * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias("interp"),
+        )
+    )

@@ -341,3 +341,22 @@ def test_dedup_cluster_profile_conserves_docs(spark):
     n = table(spark, SF_SMALL, "documents").count()
     assert pdf.n_docs.sum() == n
     assert (pdf.n_dropped == pdf.n_docs - pdf.n_clusters).all()
+
+
+def test_resample_interp_bounded(spark):
+    """Interpolated values lie within each user's [min, max] value
+    range, and every user's grid is hourly-contiguous."""
+    pdf = ent.queries()["ts_resample_interp"](spark, SF_SMALL).toPandas()
+    ev = (
+        table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    for uid, grp in pdf.groupby("user_id"):
+        assert grp.interp.min() >= ev.loc[uid].lo - 1e-6
+        assert grp.interp.max() <= ev.loc[uid].hi + 1e-6
+        ts = grp.grid_ts.sort_values().reset_index(drop=True)
+        gaps = ts.diff().dropna().dt.total_seconds()
+        assert (gaps == 3600).all()
