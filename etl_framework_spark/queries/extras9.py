@@ -211,3 +211,83 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("interp"),
         )
     )
+
+
+@query(
+    "ts_gapfill_locf",
+    oracle="""
+    WITH ev AS (SELECT user_id, date_trunc('second', ts) AS ts, value,
+                       event_id
+                FROM events),
+    bounds AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi
+               FROM ev GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS ts
+             FROM bounds),
+    u AS (SELECT user_id, ts, 0 AS is_grid, value,
+                 COALESCE(event_id, -1) AS event_id FROM ev
+          UNION ALL
+          SELECT user_id, ts, 1, NULL, -1 FROM grid),
+    w AS (SELECT user_id, ts, is_grid,
+                 last_value(value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_grid, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+          FROM u)
+    SELECT user_id, ts AS grid_ts, locf
+    FROM w WHERE is_grid = 1 AND locf IS NOT NULL
+    """,
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-function gap fill: last observation carried forward onto
+    the hourly grid — the resampling mode for state-like series
+    (interpolating a status makes no sense). Single backward window
+    pass; values pass through untouched so no quantization is
+    needed."""
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+
+    ev = (
+        _table(spark, sf_dir, "events")
+        .withColumn("tts", F.date_trunc("second", F.col("ts")))
+        .select("user_id", F.col("tts").alias("ts"), "value", "event_id")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("ts"),
+    )
+    u = ev.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_grid"),
+        "value",
+        F.coalesce(F.col("event_id"), F.lit(-1)).alias("event_id"),
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(-1).alias("event_id"),
+        )
+    )
+    wo = W.partitionBy("user_id").orderBy("ts", "is_grid", "event_id")
+    back = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = u.select(
+        "user_id",
+        "ts",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(back).alias("locf"),
+    )
+    return (
+        w.filter((F.col("is_grid") == 1) & F.col("locf").isNotNull())
+        .select("user_id", F.col("ts").alias("grid_ts"), "locf")
+    )
