@@ -291,3 +291,112 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.filter((F.col("is_grid") == 1) & F.col("locf").isNotNull())
         .select("user_id", F.col("ts").alias("grid_ts"), "locf")
     )
+
+
+@query(
+    "ts_ohlc",
+    oracle="""
+    WITH ev AS (SELECT user_id, date_trunc('second', ts) AS tts, value,
+                       event_id, date_trunc('day', date_trunc('second', ts)) AS day
+                FROM events),
+    r AS (SELECT user_id, day, value, tts, event_id,
+                 row_number() OVER (PARTITION BY user_id, day
+                                    ORDER BY tts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY user_id, day
+                                    ORDER BY tts DESC, event_id DESC) AS rn_z
+          FROM ev)
+    SELECT user_id, day,
+           min(CASE WHEN rn_a = 1 THEN value END) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           min(CASE WHEN rn_z = 1 THEN value END) AS close,
+           count(*) AS n_events,
+           round(sum(value), 4) AS volume
+    FROM r GROUP BY user_id, day
+    """,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling bars per (user, day): open/close via
+    tie-broken first/last row numbers, high/low/volume as ordinary
+    aggregates — the standard time-series compaction that turns raw
+    ticks into bounded per-bucket state. Two windows + one agg, all
+    hash-partitioned on (user_id, day)."""
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+
+    ev = (
+        _table(spark, sf_dir, "events")
+        .withColumn("tts", F.date_trunc("second", F.col("ts")))
+        .withColumn("day", F.date_trunc("day", F.col("tts")))
+    )
+    wa = W.partitionBy("user_id", "day").orderBy("tts", "event_id")
+    wz = W.partitionBy("user_id", "day").orderBy(
+        F.col("tts").desc(), F.col("event_id").desc()
+    )
+    r = ev.select(
+        "user_id",
+        "day",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wz).alias("rn_z"),
+    )
+    return r.groupBy("user_id", "day").agg(
+        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.min(F.when(F.col("rn_z") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("volume"),
+    )
+
+
+@query(
+    "llm_novelty",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                      generate_series(1, greatest(len(l) - 2, 1)),
+                      i -> concat_ws(' ', l[i], l[i+1], l[i+2])))) AS s
+           FROM t),
+    firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN firsts.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN firsts.first_doc = sh.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM sh JOIN firsts ON firsts.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+)
+def llm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content novelty (L4/L5): fraction of a document's distinct
+    3-gram shingles whose FIRST corpus occurrence (min doc_id — the
+    ingestion-order proxy) is this document. Low novelty = mostly
+    recycled text; the curation signal behind 'diminishing returns'
+    dedup curves. One shingle explode + a vocab-sized first-occurrence
+    table joined back on the shingle hash — collision-driven cost,
+    never all-pairs."""
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+    from etl_framework_spark.operators.textops import shingles, tokens
+
+    docs = _table(spark, sf_dir, "documents").withColumn("l", tokens("text"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("l", 3))).alias("s"),
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(firsts, "s")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        novel.alias("n_novel"),
+        F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+    )
