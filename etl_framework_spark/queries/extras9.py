@@ -400,3 +400,109 @@ def llm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.alias("n_novel"),
         F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
     )
+
+
+@query(
+    "llm_quality_pctile",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS DOUBLE)
+               / greatest(n_chars, 1) AS tok_density
+      FROM documents)
+    SELECT doc_id, source,
+           round(tok_density, 6) AS tok_density,
+           round(percent_rank() OVER (PARTITION BY source
+                 ORDER BY tok_density, doc_id), 6) AS pctile_in_source
+    FROM q
+    """,
+)
+def llm_quality_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score normalization: a raw quality signal (token density here)
+    is re-expressed as its percent-rank WITHIN its source — the
+    standard fix for cross-source score drift (one crawl's 0.3 is
+    another's 0.7). Tie-broken total order keeps the rank exact on
+    both engines; the window runs per source partition."""
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+
+    d = _table(spark, sf_dir, "documents")
+    dens = (
+        F.size(F.split(F.col("text"), " ")).cast("double")
+        / F.greatest(F.col("n_chars"), F.lit(1))
+    )
+    q = d.select("doc_id", "source", dens.alias("tok_density"))
+    w = W.partitionBy("source").orderBy("tok_density", "doc_id")
+    return q.select(
+        "doc_id",
+        "source",
+        F.round("tok_density", 6).alias("tok_density"),
+        F.round(F.percent_rank().over(w), 6).alias("pctile_in_source"),
+    )
+
+
+@query(
+    "train_packing_eff",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    cum AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS c
+      FROM toks),
+    bins AS (
+      SELECT source, CAST(floor((c - n_tok) / 256.0) AS BIGINT) AS bin,
+             CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+      FROM cum GROUP BY source, bin)
+    SELECT CAST(least(floor(bin_tokens / 64.0), 7) AS BIGINT) AS fill_bucket,
+           count(*) AS n_bins,
+           round(avg(CAST(bin_tokens AS DOUBLE)) / 256, 6) AS avg_fill
+    FROM bins GROUP BY fill_bucket
+    """,
+)
+def train_packing_eff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over pack_sequences' bins: histogram
+    of bin fill (64-token buckets, capped) plus mean fill ratio — the
+    number that tells you whether the 256-token budget wastes compute
+    (fill « 1) or the stream needs re-sorting by length. Bins are
+    already a bounded aggregate; this is one more tiny agg on top."""
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+    from pyspark.sql import Window as W
+
+    d = _table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    w = W.partitionBy("source").orderBy("doc_id")
+    cum = toks.withColumn(
+        "c", F.sum("n_tok").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    bins = (
+        cum.withColumn(
+            "bin", F.floor((F.col("c") - F.col("n_tok")) / F.lit(256.0)).cast("bigint")
+        )
+        .groupBy("source", "bin")
+        .agg(F.sum("n_tok").alias("bin_tokens"))
+    )
+    return (
+        bins.withColumn(
+            "fill_bucket",
+            F.least(F.floor(F.col("bin_tokens") / F.lit(64.0)), F.lit(7)).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("fill_bucket")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.round(F.avg(F.col("bin_tokens").cast("double")) / F.lit(256), 6).alias(
+                "avg_fill"
+            ),
+        )
+    )
