@@ -146,3 +146,113 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = _update(a1)
     a2 = _assign(emb, cent)
     return a2.groupBy("cid").agg(F.count("*").alias("n_members"))
+
+
+def _kmeans_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 2-iteration assignment (vec_id, embedding, cid)."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = (
+        emb.orderBy("vec_id")
+        .limit(K)
+        .withColumn("rn", F.row_number().over(W.orderBy("vec_id")))
+        .select(
+            (F.col("rn") - 1).cast("int").alias("cid"),
+            F.col("embedding").alias("c"),
+        )
+    )
+    return _assign(emb, _update(_assign(emb, init)))
+
+
+SEMDEDUP_TAU = 0.3  # same cosine threshold as llm_dedup_embedding
+
+
+@query(
+    "llm_semdedup",
+    oracle=f"""
+    WITH init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
+             embedding AS c
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {K})),
+    d1 AS (
+      SELECT e.vec_id, e.embedding, i.cid,
+             {_duck_sqdist('e.embedding', 'i.c')} AS dist
+      FROM embeddings e CROSS JOIN init i),
+    a1 AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1),
+    cent AS (
+      SELECT cid, list(cv ORDER BY dim) AS c FROM (
+        SELECT a1.cid, g.dim,
+               round(avg(CAST(a1.embedding[g.dim] AS DOUBLE)), 6) AS cv
+        FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS dim) g
+        GROUP BY a1.cid, g.dim)
+      GROUP BY cid),
+    d2 AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_duck_sqdist('e.embedding', 'c.c')} AS dist
+      FROM embeddings e CROSS JOIN cent c),
+    a2 AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1),
+    pairs AS (
+      SELECT b.vec_id AS id_b
+      FROM a2 a JOIN a2 b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(
+        (list_reduce(list_transform(generate_series(1, {DIM}),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+           (x, y) -> x + y))
+        / (sqrt(list_reduce(list_transform(a.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+           * sqrt(list_reduce(list_transform(b.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))),
+        6) >= {SEMDEDUP_TAU}),
+    drops AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT a2.vec_id, a2.cid,
+           drops.id_b IS NULL AS keep
+    FROM a2 LEFT JOIN drops ON drops.id_b = a2.vec_id
+    """,
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster the embedding space
+    (the exact 2-iteration k-means above), then prune near-duplicate
+    pairs (cosine ≥ τ) WITHIN each cluster only — clustering bounds
+    the pair candidates exactly like LSH bands, which is what makes
+    semantic dedup tractable at 100 TB (pairs are cluster-local, and
+    cluster sizes are balanced by the k-means objective). Survivor
+    policy: lowest vec_id per near-dup pair chain."""
+    prep(spark)
+    from etl_framework_spark.operators.similarity import dot_fold, l2_norm
+
+    a2 = _kmeans_a2(spark, sf_dir).select(
+        "vec_id", "cid", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a = a2.alias("a")
+    b = a2.alias("b")
+    cos = F.round(
+        dot_fold(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        a2.join(drops, a2.vec_id == drops.id_b, "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("id_b").isNull().alias("keep"),
+        )
+    )
