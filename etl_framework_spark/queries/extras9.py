@@ -506,3 +506,97 @@ def train_packing_eff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "llm_dedup_editdist",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, source, text,
+                      length(text) AS n FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64))
+                AS BIGINT) AS prefix_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source
+     AND a.doc_id < b.doc_id
+     AND abs(a.n - b.n) <= 16
+    WHERE levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) <= 8
+    """,
+)
+def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup (the third dedup family after hashing
+    and token sets): Levenshtein over 64-char prefixes, candidates
+    bounded by (lang, source) blocks plus a length-difference filter
+    (|len a − len b| ≤ 16 is a free lower bound on edit distance, so
+    it prunes before the quadratic-in-64 DP runs). Same blocked-pair
+    shape as the Jaccard verify stage — never all-pairs."""
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+
+    d = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text", F.length("text").alias("n")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(
+        F.substring(F.col("a.text"), 1, 64), F.substring(F.col("b.text"), 1, 64)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n") - F.col("b.n")) <= 16),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.cast("bigint").alias("prefix_dist"),
+        )
+        .filter(F.col("prefix_dist") <= 8)
+    )
+
+
+@query(
+    "ts_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_trunc('day', date_trunc('second', ts)) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY event_type, day),
+    lagged AS (
+      SELECT event_type, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+      FROM daily)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(n, prev_n), 6) AS lag1_autocorr
+    FROM lagged WHERE prev_n IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event counts per type — the
+    quick seasonality/trend detector for monitoring series. Daily
+    counts are a bounded aggregate; the lag window and corr run over
+    |types|×|days| rows."""
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "tts", F.date_trunc("second", F.col("ts"))
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("tts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "n", F.lag("n").over(w).alias("prev_n")
+    ).filter(F.col("prev_n").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.corr("n", "prev_n"), 6).alias("lag1_autocorr"),
+    )
