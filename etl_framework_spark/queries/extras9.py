@@ -600,3 +600,41 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_days"),
         F.round(F.corr("n", "prev_n"), 6).alias("lag1_autocorr"),
     )
+
+
+@query(
+    "ts_burstiness",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_trunc('day', date_trunc('second', ts)) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY event_type, day)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(n), 6) AS mean_daily,
+           round(var_samp(n), 6) AS var_daily,
+           round(var_samp(n) / avg(n), 6) AS fano
+    FROM daily GROUP BY event_type
+    """,
+)
+def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor = variance/mean of daily counts) per
+    event type: ≈1 for Poisson-like arrivals, »1 for bursty traffic —
+    the one-number arrival-process check next to ts_autocorr. Bounded
+    |types|×|days| aggregate."""
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "tts", F.date_trunc("second", F.col("ts"))
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("tts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    return daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.avg("n"), 6).alias("mean_daily"),
+        F.round(F.var_samp("n"), 6).alias("var_daily"),
+        F.round(F.var_samp("n") / F.avg("n"), 6).alias("fano"),
+    )
