@@ -638,3 +638,102 @@ def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("n"), 6).alias("var_daily"),
         F.round(F.var_samp("n") / F.avg("n"), 6).alias("fano"),
     )
+
+
+@query(
+    "events_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             date_trunc('second', ts) AS s,
+             date_trunc('second', ts) + INTERVAL 15 MINUTE AS e
+      FROM events),
+    pts AS (SELECT s AS t, 1 AS d FROM iv
+            UNION ALL SELECT e, -1 FROM iv),
+    sw AS (SELECT t, d,
+                  sum(d) OVER (ORDER BY t, d DESC
+                               ROWS UNBOUNDED PRECEDING) AS cur
+           FROM pts)
+    SELECT date_trunc('day', t) AS day,
+           CAST(max(cur) AS BIGINT) AS peak_concurrency
+    FROM sw GROUP BY day
+    """,
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the classic sweep line: every activity
+    interval (event + 15 min) contributes a +1 at its start and a −1
+    at its end; a running sum over the merged timeline IS the live
+    concurrency, and the per-day max is the capacity-planning number.
+    Starts sort before ends at the same instant (d DESC) so touching
+    intervals count as overlapping — pinned identically in both
+    engines. One global ordered pass; at 100 TB the same sweep runs
+    per shard key (e.g. per tenant) as an ordinary window."""
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "s", F.date_trunc("second", F.col("ts"))
+    )
+    iv = ev.select("s", (F.col("s") + F.expr("INTERVAL 15 MINUTES")).alias("e"))
+    pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = W.orderBy(F.col("t"), F.col("d").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sw = pts.select("t", F.sum("d").over(w).alias("cur"))
+    return sw.groupBy(F.date_trunc("day", F.col("t")).alias("day")).agg(
+        F.max("cur").cast("bigint").alias("peak_concurrency")
+    )
+
+
+@query(
+    "sales_pareto",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT o_custkey, rev,
+             ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+      FROM cust),
+    tot AS (SELECT sum(rev) AS t FROM cust)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(rev), 4) AS decile_rev,
+           round(sum(rev) / (SELECT t FROM tot), 6) AS rev_share
+    FROM ranked GROUP BY decile
+    """,
+)
+def sales_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) profile: customers ranked into
+    deciles by revenue, each decile's share of the total — the 80/20
+    check. Per-customer rollup is the only fact-sized shuffle; the
+    decile window runs over |customers| with a tie-broken total
+    order."""
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+
+    o = _table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    tot = cust.agg(F.sum("rev").alias("t"))
+    ranked = cust.select(
+        "o_custkey",
+        "rev",
+        F.ntile(10).over(W.orderBy(F.col("rev").desc(), "o_custkey")).alias(
+            "decile"
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("rev"), 4).alias("decile_rev"),
+            F.round(F.sum("rev") / F.first("t"), 6).alias("rev_share"),
+        )
+    )
