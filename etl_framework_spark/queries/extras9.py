@@ -737,3 +737,65 @@ def sales_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("rev") / F.first("t"), 6).alias("rev_share"),
         )
     )
+
+
+@query(
+    "sales_abc",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey),
+    tot AS (SELECT sum(rev) AS t FROM cust),
+    run AS (
+      SELECT o_custkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING)
+               / (SELECT t FROM tot) AS cum_share
+      FROM cust),
+    cls AS (
+      SELECT o_custkey, rev,
+             CASE WHEN cum_share <= 0.8 THEN 'A'
+                  WHEN cum_share <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM run)
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(rev), 4) AS class_rev
+    FROM cls GROUP BY abc
+    """,
+)
+def sales_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory-style classification: customers sorted by revenue,
+    class A = the prefix covering 80% of cumulative share, B to 95%,
+    C the tail. The running share needs one |customers|-sized ordered
+    window over the per-customer rollup (the only fact-sized shuffle
+    is the rollup itself); class boundaries are exact because the
+    cumulative sums are identical tie-broken prefix sums on both
+    engines."""
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+
+    o = _table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    tot = cust.agg(F.sum("rev").alias("t"))
+    w = W.orderBy(F.col("rev").desc(), "o_custkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    run = cust.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "rev",
+        (F.sum("rev").over(w) / F.col("t")).alias("cum_share"),
+    )
+    cls = run.select(
+        "o_custkey",
+        "rev",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return cls.groupBy("abc").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("rev"), 4).alias("class_rev"),
+    )
