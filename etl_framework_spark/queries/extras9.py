@@ -799,3 +799,127 @@ def sales_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.sum("rev"), 4).alias("class_rev"),
     )
+
+
+@query(
+    "llm_quality_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+      FROM documents),
+    st AS (SELECT source, avg(n_tok) AS mu, stddev_samp(n_tok) AS sd
+           FROM q GROUP BY source)
+    SELECT q.doc_id, q.source,
+           round(q.n_tok, 6) AS n_tok,
+           round((q.n_tok - st.mu) / st.sd, 6) AS z
+    FROM q JOIN st ON st.source = q.source
+    WHERE abs((q.n_tok - st.mu) / st.sd) >= 1.5
+    """,
+)
+def llm_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source outlier documents by token-count z-score (|z| ≥ 1.5):
+    the 'weird length for its source' gate that catches truncated or
+    concatenated records before they skew training mixes. Source
+    stats are a |sources|-row broadcast back onto the doc stream."""
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+
+    d = _table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("n_tok"),
+    )
+    st = q.groupBy("source").agg(
+        F.avg("n_tok").alias("mu"), F.stddev_samp("n_tok").alias("sd")
+    )
+    z = (F.col("n_tok") - F.col("mu")) / F.col("sd")
+    return (
+        q.join(F.broadcast(st), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.round("n_tok", 6).alias("n_tok"),
+            F.round(z, 6).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= 1.5)
+    )
+
+
+@query(
+    "llm_token_length_hist",
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+    SELECT CAST(length(tok) AS INT) AS tok_len,
+           count(*) AS n_tokens,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+    FROM toks GROUP BY tok_len
+    """,
+)
+def llm_token_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (tokens and distinct types per length) —
+    the standard tokenizer diagnostic: a hump at high lengths means
+    concatenation artifacts, a spike at 1 means over-splitting. One
+    explode + one hash agg on a tiny key domain."""
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+    from etl_framework_spark.operators.textops import tokens
+
+    d = _table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    return toks.groupBy(F.length("tok").cast("int").alias("tok_len")).agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_types"),
+    )
+
+
+@query(
+    "ts_interarrival",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT)
+               - lag(CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT))
+                 OVER (PARTITION BY event_type
+                       ORDER BY date_trunc('second', ts), event_id) AS gap_s
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(avg(CAST(gap_s AS DOUBLE)), 6) AS mean_gap_s,
+           round(quantile_cont(CAST(gap_s AS DOUBLE), 0.5), 6) AS p50_gap_s,
+           round(quantile_cont(CAST(gap_s AS DOUBLE), 0.9), 6) AS p90_gap_s
+    FROM seq WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type (mean/p50/p90
+    seconds): the arrival-process profile next to burstiness — p90 »
+    p50 means heavy-tailed gaps (batchy sources). Lag runs per type;
+    percentiles over the bounded per-type gap sets."""
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "tts", F.date_trunc("second", F.col("ts"))
+    )
+    w = W.partitionBy("event_type").orderBy("tts", "event_id")
+    es = F.unix_timestamp("tts")
+    seq = ev.select(
+        "event_type", (es - F.lag(es).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    g = F.col("gap_s").cast("double")
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg(g), 6).alias("mean_gap_s"),
+        F.round(F.expr("percentile(CAST(gap_s AS DOUBLE), 0.5)"), 6).alias(
+            "p50_gap_s"
+        ),
+        F.round(F.expr("percentile(CAST(gap_s AS DOUBLE), 0.9)"), 6).alias(
+            "p90_gap_s"
+        ),
+    )
