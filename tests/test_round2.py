@@ -360,3 +360,31 @@ def test_resample_interp_bounded(spark):
         ts = grp.grid_ts.sort_values().reset_index(drop=True)
         gaps = ts.diff().dropna().dt.total_seconds()
         assert (gaps == 3600).all()
+
+
+def test_pareto_and_abc_conserve_revenue(spark):
+    """Decile shares sum to 1; ABC class revenue sums to total."""
+    pareto = ent.queries()["sales_pareto"](spark, SF_SMALL).toPandas()
+    assert abs(pareto.rev_share.sum() - 1.0) < 1e-4
+    assert pareto.n_customers.sum() == table(
+        spark, SF_SMALL, "orders"
+    ).select("o_custkey").distinct().count()
+    abc = ent.queries()["sales_abc"](spark, SF_SMALL).toPandas()
+    total = (
+        table(spark, SF_SMALL, "orders")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert abs(abc.class_rev.sum() - total) < 1.0
+    # A-class revenue share must dominate
+    rev = abc.set_index("abc").class_rev
+    assert rev.get("A", 0) > rev.get("C", 0)
+
+
+def test_concurrency_bounds(spark):
+    """Peak concurrency is positive and never exceeds the number of
+    intervals alive that day (events that day + carryover)."""
+    pdf = ent.queries()["events_concurrency"](spark, SF_SMALL).toPandas()
+    assert (pdf.peak_concurrency >= 1).all()
+    n = table(spark, SF_SMALL, "events").count()
+    assert (pdf.peak_concurrency <= n).all()
