@@ -923,3 +923,106 @@ def ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_gap_s"
         ),
     )
+
+
+@query(
+    "sales_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             sum(o_totalprice) AS rev,
+             count(*) AS n_orders
+      FROM orders GROUP BY month),
+    g AS (
+      SELECT month, rev, n_orders,
+             lag(rev) OVER (ORDER BY month) AS prev_rev
+      FROM m)
+    SELECT month, round(rev, 4) AS revenue, n_orders,
+           round((rev - prev_rev) / prev_rev, 6) AS mom_growth
+    FROM g
+    """,
+)
+def sales_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly rollup (the only
+    fact-sized shuffle) then a lag over |months| rows. First month's
+    growth is NULL by construction on both engines."""
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+
+    o = _table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        F.sum("o_totalprice").alias("rev"), F.count("*").alias("n_orders")
+    )
+    w = W.orderBy("month")
+    g = m.withColumn("prev_rev", F.lag("rev").over(w))
+    return g.select(
+        "month",
+        F.round("rev", 4).alias("revenue"),
+        "n_orders",
+        F.round((F.col("rev") - F.col("prev_rev")) / F.col("prev_rev"), 6).alias(
+            "mom_growth"
+        ),
+    )
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, count(*) AS n FROM u GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM u a JOIN u b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY type_a, type_b)
+    SELECT i.type_a, i.type_b, i.n_both,
+           round(CAST(i.n_both AS DOUBLE)
+                 / (sa.n + sb.n - i.n_both), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.event_type = i.type_a
+    JOIN sz sb ON sb.event_type = i.type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: Jaccard of the user sets
+    for every type pair — the co-engagement matrix behind funnel
+    hypotheses. Distinct (type, user) pairs shuffle once on user_id
+    for the self-join; everything after is |types|²-bounded."""
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    u = ev.select("event_type", "user_id").distinct()
+    sz = u.groupBy("event_type").agg(F.count("*").alias("n"))
+    a, b = u.alias("a"), u.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
