@@ -37,6 +37,7 @@ for _m in [
     "profiling",
     "bpe_q",
     "extras9",
+    "extras10",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the

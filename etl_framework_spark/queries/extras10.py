@@ -1,0 +1,170 @@
+"""Round-2 batch 5: skyline (Pareto frontier), winnowing fingerprints,
+and load seasonality — three operator shapes the earlier batches don't
+cover.
+
+Scale notes (the 100 TB rationale for each formulation):
+- ``orders_skyline``: the textbook skyline is an O(n²) dominance
+  NOT-EXISTS self-join (that stays the ORACLE, where it is obviously
+  correct on 15k rows). The Spark plan instead sorts once per group
+  and uses two window maxima — O(n log n), one shuffle on the group
+  key, no self-join — the standard sort-filter skyline specialization
+  for 2-D monotone dominance.
+- ``llm_winnowing``: per-document array algebra only (no explode, no
+  shuffle) — embarrassingly parallel over the corpus, like the other
+  fingerprint ops.
+- ``events_seasonality``: 168-cell output regardless of input size;
+  partial aggregation does all the work map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_framework_spark.catalog import table
+from etl_framework_spark.operators.textops import shingles, tokens
+from etl_framework_spark.registry import query
+from etl_framework_spark.session import prep
+
+
+# --------------------------------------------------------------------------
+# Skyline / Pareto frontier — per-nation "earliest high-value orders"
+# --------------------------------------------------------------------------
+@query(
+    "orders_skyline",
+    oracle="""
+    WITH o AS (SELECT n_name, o_orderkey, o_orderdate, o_totalprice
+               FROM orders
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey)
+    SELECT n_name, o_orderkey, o_orderdate, o_totalprice
+    FROM o a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o b
+      WHERE b.n_name = a.n_name
+        AND b.o_orderdate <= a.o_orderdate
+        AND b.o_totalprice >= a.o_totalprice
+        AND (b.o_orderdate < a.o_orderdate OR b.o_totalprice > a.o_totalprice))
+    """,
+)
+def orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation 2-D skyline: orders not dominated on (earlier date,
+    higher price). A row is dominated iff some strictly-earlier-date
+    row has >= its price, or a same-date row has > its price — so two
+    window maxima replace the quadratic dominance join: `mprev` (max
+    price over strictly earlier dates, via a range frame ending 1s
+    before the current date) and `msame` (max price within the same
+    date). One sort per nation; no self-join at any scale."""
+    prep(spark)
+    o = (
+        table(spark, sf_dir, "orders")
+        .join(table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(table(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    # o_orderdate is day-granular (TIMESTAMP_NTZ at midnight), so its day
+    # number is a total order and -1 in the range frame = strictly earlier
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w_prev = W.partitionBy("n_name").orderBy(day).rangeBetween(W.unboundedPreceding, -1)
+    w_same = W.partitionBy("n_name", "o_orderdate")
+    dominated = (
+        F.coalesce(F.max("o_totalprice").over(w_prev) >= F.col("o_totalprice"), F.lit(False))
+        | (F.max("o_totalprice").over(w_same) > F.col("o_totalprice"))
+    )
+    return (
+        o.withColumn("_dom", dominated)
+        .filter(~F.col("_dom"))
+        .select("n_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS-style local-min sampling of shingle hashes)
+# --------------------------------------------------------------------------
+_WINNOW_W = 4  # hash-window width: guarantees a shared fingerprint for
+#                any match of >= w + k - 1 = 6 consecutive tokens
+
+
+@query(
+    "llm_winnowing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    s AS (SELECT doc_id,
+                 list_transform(
+                   list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+                                  i -> concat_ws(' ', l[i], l[i+1], l[i+2])),
+                   x -> md5(x)) AS h
+          FROM t),
+    m AS (SELECT doc_id, len(h) AS n_hashes,
+                 list_transform(
+                   generate_series(1, greatest(len(h) - {_WINNOW_W - 1}, 1)),
+                   i -> list_min(h[i:i+{_WINNOW_W - 1}])) AS mins
+          FROM s)
+    SELECT doc_id,
+           CAST(n_hashes AS INT) AS n_hashes,
+           CAST(len(mins) AS INT) AS n_windows,
+           list_sort(list_distinct(mins)) AS fps,
+           CAST(len(list_distinct(mins)) AS INT) AS n_fp
+    FROM m
+    """,
+)
+def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every
+    3-token shingle, slide a width-w window over the hash sequence,
+    keep each window's minimum — the sampled fingerprint set is
+    guaranteed to share an entry with any other document that shares
+    >= w+k-1 consecutive tokens. Pure per-row array algebra: no
+    explode, no shuffle, linear in corpus size."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("l"))
+    s = t.select("doc_id", F.transform(shingles("l", 3), lambda x: F.md5(x)).alias("h"))
+    mins = F.expr(
+        f"transform(sequence(1, greatest(size(h) - {_WINNOW_W - 1}, 1)),"
+        f" i -> array_min(slice(h, i, {_WINNOW_W})))"
+    )
+    m = s.select("doc_id", F.size("h").alias("n_hashes"), mins.alias("mins"))
+    fps = F.sort_array(F.array_distinct(F.col("mins")))
+    return m.select(
+        "doc_id",
+        "n_hashes",
+        F.size("mins").alias("n_windows"),
+        fps.alias("fps"),
+        F.size(F.array_distinct(F.col("mins"))).alias("n_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Load seasonality profile — day-of-week × hour-of-day heatmap
+# --------------------------------------------------------------------------
+@query(
+    "events_seasonality",
+    oracle="""
+    WITH c AS (SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+                      count(*) AS n,
+                      count(DISTINCT user_id) AS n_users
+               FROM events GROUP BY 1, 2)
+    SELECT dow, CAST(hr AS INT) AS hr, n, n_users,
+           round(n / avg(n) OVER (), 6) AS load_ratio
+    FROM c
+    """,
+)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality: event and unique-user counts per (day of
+    week, hour of day) cell, plus each cell's load relative to the
+    mean cell — the profile that sizes ingestion capacity and flags
+    off-pattern load. 168-row output at any scale; Spark dayofweek is
+    1..7 Sunday-first vs DuckDB 0..6, so the oracle adds 1
+    (SURVEY.md §5.3 rule 5)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hr")
+    ).agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    return c.select(
+        "dow",
+        F.col("hr").cast("int").alias("hr"),
+        "n",
+        "n_users",
+        F.round(F.col("n") / F.avg("n").over(W.partitionBy()), 6).alias("load_ratio"),
+    )
