@@ -168,3 +168,202 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.round(F.col("n") / F.avg("n").over(W.partitionBy()), 6).alias("load_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# E1 composite — multi-step corpus-curation job through the spec engine
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_curation",
+    oracle=r"""
+    WITH f AS (SELECT *, sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                      AS norm_hash
+               FROM documents
+               WHERE n_chars BETWEEN 80 AND 2000 AND lang IN ('en','es','de','fr')),
+    d AS (SELECT * FROM f
+          QUALIFY row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) = 1)
+    SELECT lang, source,
+           count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tot_tokens
+    FROM d GROUP BY lang, source
+    """,
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core capability end-to-end: a 4-step curation
+    job — quality gate, content normalization, exact dedup keep-first,
+    per-(lang, source) report — declared entirely as a config spec and
+    executed by the pipeline engine (filter → with_columns → dedup →
+    aggregate). Every step is a Catalyst-planned DataFrame op; the
+    dedup shuffles once on the content hash."""
+    prep(spark)
+    from etl_framework_spark.pipeline import run_pipeline
+
+    spec = {
+        "sources": {
+            "documents": {"format": "parquet", "path": f"{sf_dir}/documents.parquet"}
+        },
+        "steps": [
+            {
+                "name": "gated",
+                "input": "documents",
+                "op": "filter",
+                "args": {
+                    "condition": "n_chars BETWEEN 80 AND 2000"
+                    " AND lang IN ('en','es','de','fr')"
+                },
+            },
+            {
+                "name": "normed",
+                "input": "gated",
+                "op": "with_columns",
+                "args": {
+                    "columns": {
+                        "norm_hash": r"sha2(regexp_replace(lower(trim(text)),"
+                        r" '\\s+', ' '), 256)"
+                    }
+                },
+            },
+            {
+                "name": "deduped",
+                "input": "normed",
+                "op": "dedup",
+                "args": {"keys": ["norm_hash"], "order_by": ["doc_id"]},
+            },
+            {
+                "name": "report",
+                "input": "deduped",
+                "op": "aggregate",
+                "args": {
+                    "group_by": ["lang", "source"],
+                    "aggs": {
+                        "n_docs": "count(*)",
+                        "avg_chars": "round(avg(n_chars), 2)",
+                        "tot_tokens": "sum(size(split(text, ' ')))",
+                    },
+                },
+            },
+        ],
+    }
+    return run_pipeline(spark, spec)["report"]
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution — purchases credited to the latest prior touch
+# --------------------------------------------------------------------------
+_ATTR_DAYS = 7
+
+
+@query(
+    "events_attribution",
+    oracle=f"""
+    WITH sub AS (SELECT event_id, user_id, event_type, ts,
+                        CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
+                          AS kindord
+                 FROM events
+                 WHERE event_type IN ('purchase', 'view', 'click')),
+    c AS (SELECT *,
+            last_value(CASE WHEN kindord = 1 THEN event_id END IGNORE NULLS)
+              OVER w AS t_id,
+            last_value(CASE WHEN kindord = 1 THEN event_type END IGNORE NULLS)
+              OVER w AS t_type,
+            last_value(CASE WHEN kindord = 1 THEN ts END IGNORE NULLS)
+              OVER w AS t_ts
+          FROM sub
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, kindord, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+           CASE WHEN ok THEN t_id END AS touch_id,
+           CASE WHEN ok THEN t_type END AS touch_type,
+           CASE WHEN ok THEN round(gap_s / 60.0, 2) END AS gap_min
+    FROM (SELECT *,
+                 CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT)
+                   - CAST(floor(epoch(date_trunc('second', t_ts))) AS BIGINT)
+                   AS gap_s,
+                 t_ts IS NOT NULL
+                 AND CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT)
+                     - CAST(floor(epoch(date_trunc('second', t_ts))) AS BIGINT)
+                     <= {_ATTR_DAYS} * 86400 AS ok
+          FROM c WHERE event_type = 'purchase')
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the same
+    user's most recent view/click STRICTLY before it and at most 7
+    days old, else unattributed. One union-order window per user (no
+    self-join): ordering by (ts, purchase-first, event_id) makes
+    same-timestamp touches invisible to the purchase (strict <) and
+    breaks touch ties deterministically; the three ignore-nulls lasts
+    agree because they are non-null on exactly the same rows."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    sub = ev.filter(F.col("event_type").isin("purchase", "view", "click")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("kindord"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kindord", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("kindord") == 1
+    c = sub.select(
+        "*",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True).over(w).alias("t_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w).alias("t_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("t_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    # ts is TIMESTAMP_NTZ (no direct long cast); the repo convention
+    # for exact cross-engine gaps is truncate-to-second then epoch
+    gap_s = F.unix_timestamp(F.date_trunc("second", F.col("ts"))) - F.unix_timestamp(
+        F.date_trunc("second", F.col("t_ts"))
+    )
+    ok = F.col("t_ts").isNotNull() & (gap_s <= _ATTR_DAYS * 86400)
+    gap = F.round(gap_s / 60.0, 2)
+    return c.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.when(ok, F.col("t_id")).alias("touch_id"),
+        F.when(ok, F.col("t_type")).alias("touch_type"),
+        F.when(ok, gap).alias("gap_min"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling — k docs per group, stable across runs/engines
+# --------------------------------------------------------------------------
+_SAMPLE_K = 5
+
+
+@query(
+    "sample_hash_topk",
+    oracle=f"""
+    SELECT lang, doc_id, h, rn FROM (
+      SELECT lang, doc_id, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      FROM (SELECT lang, doc_id,
+                   md5(concat(CAST(doc_id AS VARCHAR), ':', text)) AS h
+            FROM documents))
+    WHERE rn <= {_SAMPLE_K}
+    """,
+)
+def sample_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sampling: the k docs with the smallest
+    content hash per language — unlike rand()-based sampling this is
+    reproducible across runs, engines, and partitionings (the property
+    a training-data pipeline needs for auditable subsets), yet
+    hash-ordering makes it uniform-ish. Partial top-k per partition
+    via the window; no full sort of the corpus."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text")))
+    w = W.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("lang", "doc_id", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SAMPLE_K)
+    )
