@@ -148,3 +148,43 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     )
     joined = fact.join(dim, "o_orderstatus")
     assert "dynamicpruning" in explain_str(joined).lower()
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Scale technique: with a selective dim-side filter on a shuffle
+    join, Spark can inject a runtime Bloom filter that drops fact rows
+    before the shuffle (row-level runtime filtering — the 100 TB lever
+    when broadcast is off the table). Pin the thresholds and assert the
+    bloom_filter_agg / might_contain pair lands in the plan."""
+    from pyspark.sql import functions as F
+
+    from etl_framework_spark.plans import explain_str
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = explain_str(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
