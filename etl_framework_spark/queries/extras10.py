@@ -85,9 +85,7 @@ _WINNOW_W = 4  # hash-window width: guarantees a shared fingerprint for
 #                any match of >= w + k - 1 = 6 consecutive tokens
 
 
-@query(
-    "llm_winnowing",
-    oracle=f"""
+_WINNOW_CTE = f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
     s AS (SELECT doc_id,
                  list_transform(
@@ -100,6 +98,13 @@ _WINNOW_W = 4  # hash-window width: guarantees a shared fingerprint for
                    generate_series(1, greatest(len(h) - {_WINNOW_W - 1}, 1)),
                    i -> list_min(h[i:i+{_WINNOW_W - 1}])) AS mins
           FROM s)
+"""
+
+
+@query(
+    "llm_winnowing",
+    oracle=_WINNOW_CTE
+    + """
     SELECT doc_id,
            CAST(n_hashes AS INT) AS n_hashes,
            CAST(len(mins) AS INT) AS n_windows,
@@ -131,6 +136,69 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("mins").alias("n_windows"),
         fps.alias("fps"),
         F.size(F.array_distinct(F.col("mins"))).alias("n_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing dedup — candidate pairs sharing a fingerprint
+# --------------------------------------------------------------------------
+_FP_DF_CAP = 20  # drop fingerprints appearing in more docs (stop-shingles)
+
+
+@query(
+    "llm_dedup_winnow",
+    oracle=_WINNOW_CTE
+    + f""",
+    e AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m),
+    nf AS (SELECT doc_id, CAST(len(list_distinct(mins)) AS INT) AS n_fp FROM m),
+    keep AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= {_FP_DF_CAP}),
+    e2 AS (SELECT e.doc_id, e.fp FROM e JOIN keep USING (fp)),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM e2 a JOIN e2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, n_shared,
+           round(n_shared / CAST(x.n_fp + y.n_fp - n_shared AS DOUBLE), 6)
+             AS fp_jaccard
+    FROM pairs JOIN nf x ON x.doc_id = id_a JOIN nf y ON y.doc_id = id_b
+    """,
+)
+def llm_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-based near-dup candidates: docs sharing >= 1 sampled
+    fingerprint, scored by Jaccard over fingerprint sets. The shuffle
+    key is the fingerprint (1/w of the shingle volume), and
+    fingerprints hitting more than {cap} docs are dropped before the
+    self-join — the df-cap is what bounds bucket fan-out at corpus
+    scale (a stop-shingle shared by 1M docs would otherwise create a
+    10^12-pair bucket)."""
+    prep(spark)
+    win = llm_winnowing(spark, sf_dir).select("doc_id", "fps", "n_fp")
+    e = win.select("doc_id", F.explode("fps").alias("fp"))
+    keep = e.groupBy("fp").count().filter(F.col("count") <= _FP_DF_CAP).select("fp")
+    e2 = e.join(keep, "fp")
+    a = e2.alias("a")
+    b = e2.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    nf = win.select("doc_id", "n_fp")
+    x = nf.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("nfa"))
+    y = nf.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("nfb"))
+    return (
+        pairs.join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("nfa") + F.col("nfb") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("fp_jaccard"),
+        )
     )
 
 

@@ -148,6 +148,14 @@ def test_sample_hash_topk_deterministic(spark):
     assert (a.groupby("lang").size() <= 5).all()
 
 
+def test_winnow_dedup_pairs_well_formed(spark):
+    out = ent.queries()["llm_dedup_winnow"](spark, SF_SMALL).toPandas()
+    assert (out.id_a < out.id_b).all()
+    assert not out.duplicated(["id_a", "id_b"]).any()
+    assert ((0 < out.fp_jaccard) & (out.fp_jaccard <= 1)).all()
+    assert (out.n_shared >= 1).all()
+
+
 def test_basket_lift_metric_bounds(spark):
     out = ent.queries()["basket_lift"](spark, SF_SMALL).toPandas()
     assert (out.brand_a < out.brand_b).all()
