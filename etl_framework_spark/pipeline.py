@@ -43,6 +43,22 @@ def op(name: str) -> Callable[[OpFn], OpFn]:
 
 
 # -- operator registry (each = pure DataFrame -> DataFrame) -----------------
+def _sort_cols(exprs: list[str]) -> list:
+    """Sort expressions with optional trailing ASC/DESC. The suffix
+    must be split off before F.expr: ``expr("revenue DESC")`` parses
+    DESC as a column *alias* (bare-alias syntax) and silently sorts
+    ascending."""
+    cols = []
+    for e in exprs:
+        parts = e.rsplit(None, 1)
+        if len(parts) == 2 and parts[1].upper() in ("ASC", "DESC"):
+            col = F.expr(parts[0])
+            cols.append(col.desc() if parts[1].upper() == "DESC" else col.asc())
+        else:
+            cols.append(F.expr(e))
+    return cols
+
+
 @op("filter")
 def _filter(df: DataFrame, condition: str) -> DataFrame:
     return df.filter(F.expr(condition))
@@ -100,7 +116,7 @@ def _dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
     """Keep the first row per key under a total order (exact dedup)."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(*keys).orderBy(*[F.expr(o) for o in order_by])
+    w = W.partitionBy(*keys).orderBy(*_sort_cols(order_by))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -119,6 +135,87 @@ def _merge_upsert(df: DataFrame, right: DataFrame, key: str) -> DataFrame:
     from etl_framework_spark.operators.cdc import merge_upsert
 
     return merge_upsert(df, right, key)
+
+
+@op("topk_per_group")
+def _topk_per_group(
+    df: DataFrame, keys: list[str], order_by: list[str], k: int
+) -> DataFrame:
+    """Keep the top-k rows per group under a total order (W6). Same
+    window-group-limit plan as the contract key `win_topk_group`."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(*_sort_cols(order_by))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+@op("asof_join")
+def _asof_join(
+    df: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """J8 as-of join as a declarative step (union-tag + window impl)."""
+    from etl_framework_spark.operators.asof import asof_join
+
+    return asof_join(df, right, on, left_ts, right_ts, payload_cols, tiebreak)
+
+
+@op("sessionize")
+def _sessionize(
+    df: DataFrame, key: str, ts: str, gap_minutes: float, out: str = "session_id"
+) -> DataFrame:
+    """Gap-based session ids per key (T3 batch semantics): a new
+    session starts when the gap to the previous row exceeds the
+    threshold; the id is the running count of session starts."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(F.col(ts))
+    prev = F.lag(F.col(ts)).over(w)
+    gap_s = F.unix_timestamp(F.date_trunc("second", F.col(ts))) - F.unix_timestamp(
+        F.date_trunc("second", prev)
+    )
+    new_sess = F.when(prev.isNull() | (gap_s > gap_minutes * 60), 1).otherwise(0)
+    wid = W.partitionBy(key).orderBy(F.col(ts)).rowsBetween(W.unboundedPreceding, 0)
+    return df.withColumn(out, F.sum(new_sess).over(wid))
+
+
+@op("hash_sample")
+def _hash_sample(df: DataFrame, keys: list[str], fraction: float) -> DataFrame:
+    """Deterministic sampling: keep rows whose md5 over the key
+    columns falls below the fraction threshold — reproducible across
+    runs/engines/partitionings, unlike rand()-based sampling."""
+    h = F.md5(F.concat_ws(":", *[F.col(c).cast("string") for c in keys]))
+    # first 8 hex chars as an int in [0, 16^8)
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    return df.filter(bucket < F.lit(int(fraction * 16**8)))
+
+
+@op("quality_gate")
+def _quality_gate(
+    df: DataFrame,
+    bounds: dict[str, list] | None = None,
+    allow: dict[str, list] | None = None,
+) -> DataFrame:
+    """Declarative quality filter (L5): numeric [lo, hi] bounds and
+    categorical allowlists, AND-composed."""
+    cond = F.lit(True)
+    for col, (lo, hi) in (bounds or {}).items():
+        if lo is not None:
+            cond = cond & (F.col(col) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(col) <= hi)
+    for col, vals in (allow or {}).items():
+        cond = cond & F.col(col).isin(vals)
+    return df.filter(cond)
 
 
 class ValidationError(RuntimeError):
@@ -231,19 +328,8 @@ def _validate_step(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
 
 @op("order_by")
 def _order_by(df: DataFrame, exprs: list[str]) -> DataFrame:
-    """Sort expressions with optional trailing ASC/DESC. The suffix
-    must be split off before F.expr: ``expr("revenue DESC")`` parses
-    DESC as a column *alias* (bare-alias syntax) and silently sorts
-    ascending."""
-    cols = []
-    for e in exprs:
-        parts = e.rsplit(None, 1)
-        if len(parts) == 2 and parts[1].upper() in ("ASC", "DESC"):
-            col = F.expr(parts[0])
-            cols.append(col.desc() if parts[1].upper() == "DESC" else col.asc())
-        else:
-            cols.append(F.expr(e))
-    return df.orderBy(*cols)
+    """Sort expressions with optional trailing ASC/DESC."""
+    return df.orderBy(*_sort_cols(exprs))
 
 
 @op("limit")

@@ -389,3 +389,111 @@ def test_sink_validation_rejects_view_and_unique(spark, tmp_path):
                 ],
             },
         )
+
+
+def test_topk_per_group_op(spark):
+    spec = {
+        "sources": {
+            "orders": {"format": "parquet", "path": f"{SF_SMALL}/orders.parquet"}
+        },
+        "steps": [
+            {
+                "name": "top3",
+                "input": "orders",
+                "op": "topk_per_group",
+                "args": {
+                    "keys": ["o_orderstatus"],
+                    "order_by": ["o_totalprice DESC", "o_orderkey"],
+                    "k": 3,
+                },
+            }
+        ],
+    }
+    out = run_pipeline(spark, spec)["top3"].toPandas()
+    assert (out.groupby("o_orderstatus").size() <= 3).all()
+    full = table(spark, SF_SMALL, "orders").toPandas()
+    for st, grp in full.groupby("o_orderstatus"):
+        want = set(
+            grp.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .head(3)
+            .o_orderkey
+        )
+        assert set(out[out.o_orderstatus == st].o_orderkey) == want
+
+
+def test_sessionize_op_gap_semantics(spark):
+    from etl_framework_spark.catalog import table as _t
+
+    ev = _t(spark, SF_SMALL, "events")
+    from etl_framework_spark.pipeline import OPS
+
+    out = OPS["sessionize"](ev, key="user_id", ts="ts", gap_minutes=30).toPandas()
+    out = out.sort_values(["user_id", "ts"])
+    for _, g in out.groupby("user_id"):
+        sid = g.session_id.to_numpy()
+        assert sid[0] == 1
+        assert ((sid[1:] - sid[:-1]) >= 0).all() and ((sid[1:] - sid[:-1]) <= 1).all()
+        gaps = (
+            g.ts.dt.floor("s").diff().dt.total_seconds().to_numpy()[1:]
+        )
+        new = sid[1:] != sid[:-1]
+        assert (gaps[new] > 30 * 60).all()
+        assert (gaps[~new] <= 30 * 60).all()
+
+
+def test_hash_sample_deterministic_subset(spark):
+    from etl_framework_spark.pipeline import OPS
+
+    docs = table(spark, SF_SMALL, "documents")
+    a = OPS["hash_sample"](docs, keys=["doc_id"], fraction=0.2).toPandas()
+    b = OPS["hash_sample"](docs, keys=["doc_id"], fraction=0.2).toPandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.35 * n  # loose binomial bounds
+    # smaller fraction is a strict subset (hash-prefix property)
+    c = OPS["hash_sample"](docs, keys=["doc_id"], fraction=0.1).toPandas()
+    assert set(c.doc_id) <= set(a.doc_id)
+
+
+def test_quality_gate_op(spark):
+    from etl_framework_spark.pipeline import OPS
+
+    docs = table(spark, SF_SMALL, "documents")
+    out = OPS["quality_gate"](
+        docs, bounds={"n_chars": [100, 1500]}, allow={"lang": ["en", "de"]}
+    ).toPandas()
+    assert out.n_chars.between(100, 1500).all()
+    assert out.lang.isin(["en", "de"]).all()
+    manual = docs.filter(
+        (F.col("n_chars") >= 100) & (F.col("n_chars") <= 1500) & F.col("lang").isin("en", "de")
+    ).count()
+    assert len(out) == manual
+
+
+def test_asof_join_op_registered(spark):
+    """The declarative asof_join step wires to the J8 operator: enrich
+    each purchase with the user's latest earlier view value."""
+    from etl_framework_spark.catalog import table as _t
+    from etl_framework_spark.pipeline import OPS
+
+    ev = _t(spark, SF_SMALL, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.col("value").alias("vval"),
+        "event_id",
+    )
+    out = OPS["asof_join"](
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="vts",
+        payload_cols=["vval"],
+        tiebreak="event_id",  # must exist on both sides
+    )
+    assert out.count() == left.count()
+    assert "right_vval" in out.columns  # payload cols come back prefixed
