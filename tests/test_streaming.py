@@ -228,3 +228,63 @@ def test_stateful_transform_with_state(spark):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T4 proper: an event arriving BEHIND the watermark is dropped.
+    Three single-file micro-batches (maxFilesPerTrigger=1, oldest
+    first): batch 1 fills window 10:00 and advances event time to
+    11:00 (watermark 10:50 after commit); batch 2 carries a 10:02
+    straggler — behind the watermark, must be dropped — plus an 11:30
+    row; batch 3 only pushes the watermark so window 11:00 finalizes.
+    Append-mode windowed counts must show the straggler missing."""
+    import time as _time
+    import uuid as _uuid
+
+    import pandas as pd
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "user_id"])
+        # µs precision: pandas' default ns parquet type needs a conf to read
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(src / f"{name}.parquet")
+        _time.sleep(1.1)  # distinct mtimes => deterministic file order
+
+    write_batch(
+        "b1",
+        [("2024-01-01 10:00:00", 1), ("2024-01-01 10:05:00", 2),
+         ("2024-01-01 11:00:00", 3)],
+    )
+
+    stream = spark.readStream.schema("ts timestamp, user_id long").parquet(str(src))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = f"late_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 commits; watermark -> 10:50
+        write_batch(
+            "b2",
+            [("2024-01-01 10:02:00", 4),  # late: behind the 10:50 watermark
+             ("2024-01-01 11:30:00", 5)],
+        )
+        q.processAllAvailable()  # drops the straggler, watermark -> 11:20
+        write_batch("b3", [("2024-01-01 12:30:00", 6)])
+        q.processAllAvailable()  # finalizes window 11:00
+    finally:
+        q.stop()
+    got = {r.ws.strftime("%H:%M"): r.n for r in spark.table(name).collect()}
+    assert got["10:00"] == 2, f"late row leaked into finalized window: {got}"
+    assert got["11:00"] == 1
