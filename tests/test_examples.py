@@ -89,3 +89,20 @@ def test_yaml_training_mix_job(spark):
     assert sorted(map(str, rows)) == sorted(
         map(str, spark.table("example_training_mix").collect())
     )
+
+
+def test_yaml_session_attribution_job(spark):
+    rel = run_pipeline_file(spark, f"{EXAMPLES}/session_attribution.yaml")
+    rep = spark.table("example_session_report").collect()
+    assert len(rep) == 1
+    assert rep[0].n_sessions >= rep[0].n_users > 0
+    # topk step really capped sessions per user
+    per_user = rel["busiest"].groupBy("user_id").count().agg(F.max("count")).collect()
+    assert per_user[0][0] <= 3
+    # sessionization produced contiguous ids starting at 1
+    ids = rel["sessions"].groupBy("user_id").agg(
+        F.min("session_id").alias("lo"), F.max("session_id").alias("hi"),
+        F.countDistinct("session_id").alias("n")
+    ).collect()
+    for r in ids:
+        assert r.lo == 1 and r.n == r.hi
