@@ -511,3 +511,68 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time SCD2 lookup — resolve the dimension version per fact date
+# --------------------------------------------------------------------------
+_SCD2_CUT = "1995-07-01"
+
+
+@query(
+    "scd2_asof_lookup",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+             TIMESTAMP '1990-01-01' AS eff_from,
+             CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '{_SCD2_CUT}' END AS eff_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, round(c_acctbal + 100, 2),
+             TIMESTAMP '{_SCD2_CUT}', NULL
+      FROM customer WHERE c_custkey % 3 = 0)
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           d.acctbal AS acctbal_asof, d.eff_from
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND d.eff_from <= o.o_orderdate
+     AND (d.eff_to IS NULL OR o.o_orderdate < d.eff_to)
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension resolution: each order joins the SCD2
+    customer version valid at its order date (eff_from <= d < eff_to)
+    — the classic warehouse as-of lookup. The equi-key (custkey)
+    carries the join; the interval predicate only discriminates among
+    a key's few versions, so the plan is an ordinary shuffle join, not
+    a range join. Orders straddle the synthetic cutover, so both
+    versions are exercised."""
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    cut = F.lit(_SCD2_CUT).cast("timestamp_ntz")
+    v1 = cust.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("1990-01-01").cast("timestamp_ntz").alias("eff_from"),
+        F.when(F.col("c_custkey") % 3 == 0, cut).alias("eff_to"),
+    )
+    v2 = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100, 2).alias("acctbal"),
+        cut.alias("eff_from"),
+        F.lit(None).cast("timestamp_ntz").alias("eff_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = table(spark, sf_dir, "orders")
+    return o.join(
+        dim,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("eff_from") <= F.col("o_orderdate"))
+        & (F.col("eff_to").isNull() | (F.col("o_orderdate") < F.col("eff_to"))),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("acctbal").alias("acctbal_asof"),
+        "eff_from",
+    )

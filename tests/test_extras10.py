@@ -171,6 +171,22 @@ def test_basket_lift_metric_bounds(spark):
     assert len(out) <= n_brands * (n_brands - 1) // 2
 
 
+def test_scd2_lookup_resolves_one_version_per_order(spark):
+    out = ent.queries()["scd2_asof_lookup"](spark, SF_SMALL).toPandas()
+    n_orders = table(spark, SF_SMALL, "orders").count()
+    assert len(out) == n_orders  # exactly one version matched per fact
+    assert out.o_orderkey.is_unique
+    # changed keys (custkey % 3 == 0) resolve by date side of the cutover
+    import pandas as pd
+
+    cut = pd.Timestamp("1995-07-01")
+    changed = out[out.o_custkey % 3 == 0]
+    assert (changed[changed.o_orderdate >= cut].eff_from == cut).all()
+    assert (changed[changed.o_orderdate < cut].eff_from == pd.Timestamp("1990-01-01")).all()
+    # unchanged keys always resolve to the original version
+    assert (out[out.o_custkey % 3 != 0].eff_from == pd.Timestamp("1990-01-01")).all()
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
