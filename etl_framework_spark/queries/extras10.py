@@ -576,3 +576,140 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("acctbal").alias("acctbal_asof"),
         "eff_from",
     )
+
+
+# --------------------------------------------------------------------------
+# Bitwise aggregates — bit_and / bit_or / bit_xor per group
+# --------------------------------------------------------------------------
+@query(
+    "agg_bitops",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_linenumber) AS INT) AS b_and,
+           CAST(bit_or(l_linenumber) AS INT) AS b_or,
+           CAST(bit_xor(l_linenumber) AS INT) AS b_xor,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (A-family extension): bit_and/or/xor
+    fold per group — associative+commutative, so partial aggregation
+    map-side is free like any algebraic agg."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("bit_and(l_linenumber)").cast("int").alias("b_and"),
+        F.expr("bit_or(l_linenumber)").cast("int").alias("b_or"),
+        F.expr("bit_xor(l_linenumber)").cast("int").alias("b_xor"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Linear-regression aggregate family — regr_* per group
+# --------------------------------------------------------------------------
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
+           round(regr_avgy(l_extendedprice, l_quantity), 6) AS avgy,
+           round(corr(l_extendedprice, l_quantity), 6) AS r
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression aggregates (A9 extension): slope/intercept/R²
+    of price on quantity per group via the one-pass moment
+    accumulators (regr_*) — second-moment state merges associatively,
+    so the shuffle carries 6 doubles per group regardless of scale."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr(f"regr_slope({y}, {x})"), 6).alias("slope"),
+        F.round(F.expr(f"regr_intercept({y}, {x})"), 6).alias("icept"),
+        F.round(F.expr(f"regr_r2({y}, {x})"), 6).alias("r2"),
+        F.expr(f"regr_count({y}, {x})").cast("bigint").alias("n"),
+        F.round(F.expr(f"regr_avgx({y}, {x})"), 6).alias("avgx"),
+        F.round(F.expr(f"regr_avgy({y}, {x})"), 6).alias("avgy"),
+        F.round(F.corr(y, x), 6).alias("r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-to-conversion — forward-looking twin of last-touch attribution
+# --------------------------------------------------------------------------
+@query(
+    "events_time_to_convert",
+    oracle=f"""
+    WITH sub AS (SELECT event_id, user_id, event_type, ts,
+                        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                          AS kindord
+                 FROM events
+                 WHERE event_type IN ('purchase', 'view')),
+    c AS (SELECT *,
+            first_value(CASE WHEN kindord = 1 THEN event_id END IGNORE NULLS)
+              OVER w AS p_id,
+            first_value(CASE WHEN kindord = 1 THEN ts END IGNORE NULLS)
+              OVER w AS p_ts
+          FROM sub
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, kindord, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT event_id AS view_id, user_id, ts AS v_ts,
+           CASE WHEN ok THEN p_id END AS purchase_id,
+           CASE WHEN ok THEN round(gap_s / 60.0, 2) END AS mins_to_convert
+    FROM (SELECT *,
+                 CAST(floor(epoch(date_trunc('second', p_ts))) AS BIGINT)
+                   - CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT)
+                   AS gap_s,
+                 p_ts IS NOT NULL
+                 AND CAST(floor(epoch(date_trunc('second', p_ts))) AS BIGINT)
+                     - CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT)
+                     <= {_ATTR_DAYS} * 86400 AS ok
+          FROM c WHERE event_type = 'view')
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion: for each view, minutes until the same
+    user's next purchase STRICTLY after it (within 7 days, else
+    unconverted). The forward twin of events_attribution: ordering by
+    (ts, view-first, event_id) makes a same-timestamp purchase
+    invisible (strict >), and one FOLLOWING-frame window replaces the
+    view x purchase self-join."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    sub = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("kindord"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kindord", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    is_p = F.col("kindord") == 1
+    c = sub.select(
+        "*",
+        F.first(F.when(is_p, F.col("event_id")), ignorenulls=True).over(w).alias("p_id"),
+        F.first(F.when(is_p, F.col("ts")), ignorenulls=True).over(w).alias("p_ts"),
+    ).filter(F.col("event_type") == "view")
+    gap_s = F.unix_timestamp(F.date_trunc("second", F.col("p_ts"))) - F.unix_timestamp(
+        F.date_trunc("second", F.col("ts"))
+    )
+    ok = F.col("p_ts").isNotNull() & (gap_s <= _ATTR_DAYS * 86400)
+    return c.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.when(ok, F.col("p_id")).alias("purchase_id"),
+        F.when(ok, F.round(gap_s / 60.0, 2)).alias("mins_to_convert"),
+    )

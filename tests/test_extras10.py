@@ -187,6 +187,63 @@ def test_scd2_lookup_resolves_one_version_per_order(spark):
     assert (out[out.o_custkey % 3 != 0].eff_from == pd.Timestamp("1990-01-01")).all()
 
 
+def test_agg_bitops_matches_numpy(spark):
+    import numpy as np
+
+    out = ent.queries()["agg_bitops"](spark, SF_SMALL).toPandas().set_index("l_returnflag")
+    li = table(spark, SF_SMALL, "lineitem").select("l_returnflag", "l_linenumber").toPandas()
+    for flag, grp in li.groupby("l_returnflag"):
+        v = grp.l_linenumber.to_numpy()
+        assert out.loc[flag].b_and == np.bitwise_and.reduce(v)
+        assert out.loc[flag].b_or == np.bitwise_or.reduce(v)
+        assert out.loc[flag].b_xor == np.bitwise_xor.reduce(v)
+        assert out.loc[flag].n == len(v)
+
+
+def test_agg_regression_matches_numpy(spark):
+    import numpy as np
+
+    out = ent.queries()["agg_regression"](spark, SF_SMALL).toPandas().set_index("l_returnflag")
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    for flag, grp in li.groupby("l_returnflag"):
+        slope, icept = np.polyfit(grp.l_quantity, grp.l_extendedprice, 1)
+        assert abs(out.loc[flag].slope - slope) < 1e-3
+        assert abs(out.loc[flag].icept - icept) < 1e-2
+        r = np.corrcoef(grp.l_quantity, grp.l_extendedprice)[0, 1]
+        assert abs(out.loc[flag].r - r) < 1e-4
+        assert abs(out.loc[flag].r2 - r * r) < 1e-4
+
+
+def test_time_to_convert_matches_naive_join(spark):
+    ev = table(spark, SF_SMALL, "events").select("event_id", "user_id", "event_type", "ts")
+    views = ev.filter(F.col("event_type") == "view").limit(50).toPandas()
+    purchases = ev.filter(F.col("event_type") == "purchase").toPandas()
+    out = (
+        ent.queries()["events_time_to_convert"](spark, SF_SMALL)
+        .toPandas()
+        .set_index("view_id")
+    )
+    import pandas as pd
+
+    for _, vw in views.iterrows():
+        elig = purchases[
+            (purchases.user_id == vw.user_id)
+            & (purchases.ts > vw.ts)
+            & (
+                (purchases.ts.dt.floor("s") - vw.ts.floor("s")).dt.total_seconds()
+                <= 7 * 86400
+            )
+        ]
+        got = out.loc[vw.event_id]
+        if elig.empty:
+            assert pd.isna(got.purchase_id)
+        else:
+            first = elig.sort_values(["ts", "event_id"]).iloc[0]
+            assert got.purchase_id == first.event_id
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
