@@ -713,3 +713,116 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("p_id")).alias("purchase_id"),
         F.when(ok, F.round(gap_s / 60.0, 2)).alias("mins_to_convert"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rate estimation with Wilson confidence intervals
+# --------------------------------------------------------------------------
+_Z95 = 1.959963984540054  # two-sided 95% normal quantile
+
+
+@query(
+    "stats_rate_ci",
+    oracle=f"""
+    WITH r AS (SELECT n_name,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+                        AS n_ret
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY n_name)
+    SELECT n_name, n, n_ret,
+           round(n_ret / CAST(n AS DOUBLE), 6) AS rate,
+           round((n_ret / CAST(n AS DOUBLE) + {_Z95} * {_Z95} / (2 * n)
+                  - {_Z95} * sqrt(n_ret / CAST(n AS DOUBLE)
+                                  * (1 - n_ret / CAST(n AS DOUBLE)) / n
+                                  + {_Z95} * {_Z95} / (4.0 * n * n)))
+                 / (1 + {_Z95} * {_Z95} / n), 6) AS ci_lo,
+           round((n_ret / CAST(n AS DOUBLE) + {_Z95} * {_Z95} / (2 * n)
+                  + {_Z95} * sqrt(n_ret / CAST(n AS DOUBLE)
+                                  * (1 - n_ret / CAST(n AS DOUBLE)) / n
+                                  + {_Z95} * {_Z95} / (4.0 * n * n)))
+                 / (1 + {_Z95} * {_Z95} / n), 6) AS ci_hi
+    FROM r
+    """,
+)
+def stats_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation return rate with a Wilson 95% interval — the proper
+    small-sample rate CI a monitoring pipeline publishes (never goes
+    outside [0,1], unlike the normal approximation). One star join +
+    one group-by; the interval is pure scalar math on (n, n_ret)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    r = (
+        li.join(table(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(table(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_ret"),
+        )
+    )
+    n = F.col("n").cast("double")
+    p = F.col("n_ret") / n
+    z2 = _Z95 * _Z95
+    center = p + z2 / (2 * n)
+    half = _Z95 * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    denom = 1 + z2 / n
+    return r.select(
+        "n_name",
+        "n",
+        "n_ret",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence test — lang × source contingency
+# --------------------------------------------------------------------------
+@query(
+    "stats_chisq",
+    oracle="""
+    WITH obs AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+                 FROM documents GROUP BY lang, source),
+    m AS (SELECT lang, sum(o) AS rl FROM obs GROUP BY lang),
+    s AS (SELECT source, sum(o) AS cs FROM obs GROUP BY source),
+    t AS (SELECT sum(o) AS tot FROM obs),
+    e AS (SELECT obs.lang, obs.source, o, rl * cs / tot AS exp
+          FROM obs JOIN m USING (lang) JOIN s USING (source) CROSS JOIN t)
+    SELECT round(sum((o - exp) * (o - exp) / exp), 6) AS chi2,
+           CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT)
+             AS dof,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM e
+    """,
+)
+def stats_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between two categorical columns
+    (lang x source) — the dependency detector a data-profiling pass
+    runs on every column pair. Contingency counts, broadcast
+    marginals, one scalar statistic; cells bounded by |lang|*|source|
+    regardless of corpus size."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").cast("double").alias("o"))
+    m = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    s = obs.groupBy("source").agg(F.sum("o").alias("cs"))
+    t = obs.agg(F.sum("o").alias("tot"))
+    e = (
+        obs.join(F.broadcast(m), "lang")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(t))
+        .withColumn("exp", F.col("rl") * F.col("cs") / F.col("tot"))
+    )
+    return e.agg(
+        F.round(F.sum((F.col("o") - F.col("exp")) ** 2 / F.col("exp")), 6).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("bigint").alias("dof"),
+        F.count("*").alias("n_cells"),
+    )

