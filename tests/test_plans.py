@@ -188,3 +188,40 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Scale technique: AQE detects a hot shuffle partition (one key
+    holding 95% of rows) and splits it across tasks — the runtime
+    answer to key skew when salting isn't wired in. Assert the final
+    adaptive plan marks the join skew=true and the shuffle read
+    skewed."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200_000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+        cold = spark.range(10_000).select(
+            (F.col("id") % 100 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(101).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        j = hot.union(cold).join(right, "k")
+        assert len(j.collect()) == 210_000  # same result, split execution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

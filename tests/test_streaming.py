@@ -288,3 +288,34 @@ def test_watermark_drops_late_data(spark, tmp_path):
     got = {r.ws.strftime("%H:%M"): r.n for r in spark.table(name).collect()}
     assert got["10:00"] == 2, f"late row leaked into finalized window: {got}"
     assert got["11:00"] == 1
+
+
+def test_rocksdb_state_store_backend(spark, tmp_path):
+    """The production state-store backend: the same windowed
+    aggregation runs with RocksDB-backed state (what a 100 TB
+    cluster uses for billions of keys) and converges to the batch
+    answer."""
+    import uuid as _uuid
+
+    from etl_framework_spark.streaming.harness import events_stream
+
+    name = f"rocks_{_uuid.uuid4().hex[:8]}"
+    q = (
+        events_stream(spark, SF_SMALL)
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).agg(F.sum("n")).collect()[0][0]
+    batch = table(spark, SF_SMALL, "events").count()
+    assert got == batch
