@@ -826,3 +826,73 @@ def stats_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("dof"),
         F.count("*").alias("n_cells"),
     )
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index — distribution drift between two periods
+# --------------------------------------------------------------------------
+_PSI_BINS = 10
+_PSI_WIDTH = 60000.0  # o_totalprice bucket width
+
+
+@query(
+    "dq_drift_psi",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT least(CAST(floor(o_totalprice / {_PSI_WIDTH}) AS INT),
+                   {_PSI_BINS - 1}) AS bin,
+             year(o_orderdate) AS yr
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+    c AS (SELECT bin,
+                 CAST(count(*) FILTER (WHERE yr = 1995) AS BIGINT) AS n_a,
+                 CAST(count(*) FILTER (WHERE yr = 1996) AS BIGINT) AS n_b
+          FROM tagged GROUP BY bin),
+    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c),
+    s AS (SELECT bin, n_a, n_b,
+                 (n_a + 0.5) / (ta + {_PSI_BINS} * 0.5) AS p,
+                 (n_b + 0.5) / (tb + {_PSI_BINS} * 0.5) AS q
+          FROM c CROSS JOIN t)
+    SELECT bin, n_a, n_b,
+           round(p, 6) AS p, round(q, 6) AS q,
+           round((p - q) * ln(p / q), 6) AS psi_term,
+           round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+    FROM s
+    """,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two periods (1995 vs 1996
+    order totals): the standard drift monitor for a column's
+    distribution (PSI < 0.1 stable, > 0.25 shifted). Fixed-width bins
+    with 0.5-count smoothing so empty bins stay defined; the whole
+    computation reduces to a {bins}-row table however large the fact
+    input is."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    tagged = o.filter(F.year("o_orderdate").isin(1995, 1996)).select(
+        F.least(
+            F.floor(F.col("o_totalprice") / _PSI_WIDTH).cast("int"), F.lit(_PSI_BINS - 1)
+        ).alias("bin"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    c = tagged.groupBy("bin").agg(
+        F.sum(F.when(F.col("yr") == 1995, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("n_b"),
+    )
+    t = c.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    s = c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        ((F.col("n_a") + 0.5) / (F.col("ta") + _PSI_BINS * 0.5)).alias("p"),
+        ((F.col("n_b") + 0.5) / (F.col("tb") + _PSI_BINS * 0.5)).alias("q"),
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return s.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(W.partitionBy()), 6).alias("psi_total"),
+    )

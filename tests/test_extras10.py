@@ -276,6 +276,20 @@ def test_chisq_zero_for_independent_uniform(spark):
     assert obs["count"].nunique() == 1  # balanced by construction
 
 
+def test_psi_conservation_and_symmetry(spark):
+    out = ent.queries()["dq_drift_psi"](spark, SF_SMALL).toPandas()
+    # smoothed shares each sum to ~ (total + used-bins*0.5)/(total + BINS*0.5)
+    assert out.psi_total.nunique() == 1
+    assert abs(out.psi_term.sum() - out.psi_total.iloc[0]) < 1e-5
+    # (p-q) and ln(p/q) always share a sign, so every term is >= 0
+    assert (out.psi_term >= -1e-9).all()
+    orders = table(spark, SF_SMALL, "orders").toPandas()
+
+    n95 = (orders.o_orderdate.dt.year == 1995).sum()
+    n96 = (orders.o_orderdate.dt.year == 1996).sum()
+    assert out.n_a.sum() == n95 and out.n_b.sum() == n96
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
