@@ -896,3 +896,61 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(W.partitionBy()), 6).alias("psi_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bot scoring — rule-based behavioral anomaly flags per user
+# --------------------------------------------------------------------------
+@query(
+    "events_bot_score",
+    oracle="""
+    WITH per_type AS (SELECT user_id, event_type, count(*) AS c
+                      FROM events GROUP BY user_id, event_type),
+    shares AS (SELECT user_id, c,
+                      c / CAST(sum(c) OVER (PARTITION BY user_id) AS DOUBLE) AS sh
+               FROM per_type),
+    u AS (SELECT user_id, sum(c) AS n,
+                 round(sum(-sh * ln(sh)), 6) AS type_entropy
+          FROM shares GROUP BY user_id),
+    span AS (SELECT user_id,
+                    CAST(floor(epoch(date_trunc('second', max(ts)))) AS BIGINT)
+                      - CAST(floor(epoch(date_trunc('second', min(ts)))) AS BIGINT)
+                      AS span_s
+             FROM events GROUP BY user_id)
+    SELECT u.user_id, CAST(n AS BIGINT) AS n, span_s, type_entropy,
+           round(n * 3600.0 / greatest(span_s, 60), 6) AS rate_per_hr,
+           (n >= 20 AND (n * 3600.0 / greatest(span_s, 60) > 4.0
+                         OR type_entropy < 0.8)) AS bot_flag
+    FROM u JOIN span ON u.user_id = span.user_id
+    """,
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based bot scoring per user: hourly event rate over the
+    active span plus Shannon entropy of the event-type mix — high
+    rate or a too-regular type distribution flags automation. Two
+    per-user aggregations (partial map-side), no self-joins; the
+    rules are plain column predicates a policy config can tune."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    tot = W.partitionBy("user_id")
+    share = F.col("c") / F.sum("c").over(tot).cast("double")
+    u = (
+        per_type.withColumn("term", -share * F.log(share))
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("n"), F.round(F.sum("term"), 6).alias("type_entropy"))
+    )
+    es = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    span = ev.groupBy("user_id").agg((F.max(es) - F.min(es)).alias("span_s"))
+    j = u.join(span, "user_id")
+    rate = F.col("n") * 3600.0 / F.greatest(F.col("span_s"), F.lit(60))
+    return j.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        "span_s",
+        "type_entropy",
+        F.round(rate, 6).alias("rate_per_hr"),
+        ((F.col("n") >= 20) & ((rate > 4.0) | (F.col("type_entropy") < 0.8))).alias(
+            "bot_flag"
+        ),
+    )

@@ -290,6 +290,20 @@ def test_psi_conservation_and_symmetry(spark):
     assert out.n_a.sum() == n95 and out.n_b.sum() == n96
 
 
+def test_bot_score_entropy_and_rules(spark):
+    import numpy as np
+
+    out = ent.queries()["events_bot_score"](spark, SF_SMALL).toPandas()
+    n_users = table(spark, SF_SMALL, "events").select("user_id").distinct().count()
+    assert len(out) == n_users
+    # entropy bounded by ln(|types|); rate positive
+    assert ((0 <= out.type_entropy) & (out.type_entropy <= np.log(5) + 1e-9)).all()
+    assert (out.rate_per_hr > 0).all()
+    # flag definition is reproducible from the projected columns
+    want = (out.n >= 20) & ((out.rate_per_hr > 4.0) | (out.type_entropy < 0.8))
+    assert (out.bot_flag == want).all()
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
