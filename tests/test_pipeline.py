@@ -497,3 +497,17 @@ def test_asof_join_op_registered(spark):
     )
     assert out.count() == left.count()
     assert "right_vval" in out.columns  # payload cols come back prefixed
+
+
+def test_parquet_zstd_roundtrip(spark):
+    """Codec control on the parquet sink: zstd-compressed files round-trip
+    exactly and carry the codec in the filename."""
+    import os
+
+    df = table(spark, SF_SMALL, "nation")
+    path = f"{SCRATCH}/nation_zstd"
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert files and all("zstd" in f for f in files)
+    back = spark.read.parquet(path)
+    assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))

@@ -225,3 +225,18 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_shuffle_hash_hint_honored(spark):
+    """Join-strategy control: the SHUFFLE_HASH hint must produce a
+    ShuffledHashJoin (no sort phase — the right call when one side is
+    modest but above the broadcast threshold and sorting would
+    dominate)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").hint("shuffle_hash")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "o_totalprice"
+    )
+    assert_in_plan(j, "ShuffledHashJoin", absent=("SortMergeJoin",))
