@@ -402,6 +402,13 @@ class Pipeline:
                 if "right" in args:
                     args["right"] = rel[args["right"]]
                 out = OPS[step["op"]](rel[step["input"]], **args)
+            mat = step.get("materialize")
+            if mat:
+                # checkpoint the step to parquet and re-read: cuts the
+                # lineage (a later step failure resumes from here, and a
+                # reused intermediate is computed once, not per consumer)
+                out.write.mode("overwrite").parquet(mat)
+                out = spark.read.parquet(mat)
             out.createOrReplaceTempView(step["name"])
             rel[step["name"]] = out
         for sink in self.spec.get("sinks", []):

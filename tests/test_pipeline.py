@@ -511,3 +511,38 @@ def test_parquet_zstd_roundtrip(spark):
     assert files and all("zstd" in f for f in files)
     back = spark.read.parquet(path)
     assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
+
+
+def test_step_materialize_checkpoints_to_parquet(spark):
+    """A step with materialize: path writes parquet and downstream
+    reads the files (lineage cut for resume/reuse)."""
+    import os
+
+    path = f"{SCRATCH}/mat_step"
+    spec = {
+        "sources": {
+            "orders": {"format": "parquet", "path": f"{SF_SMALL}/orders.parquet"}
+        },
+        "steps": [
+            {
+                "name": "big",
+                "input": "orders",
+                "op": "filter",
+                "args": {"condition": "o_totalprice > 100000"},
+                "materialize": path,
+            },
+            {
+                "name": "by_status",
+                "input": "big",
+                "op": "aggregate",
+                "args": {"group_by": ["o_orderstatus"], "aggs": {"n": "count(*)"}},
+            },
+        ],
+    }
+    rel = run_pipeline(spark, spec)
+    assert os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path))
+    # downstream step scans the materialized files, not the original
+    plan = rel["by_status"]._jdf.queryExecution().executedPlan().toString()
+    assert "mat_step" in plan
+    n = rel["big"].count()
+    assert n == spark.read.parquet(path).count()
