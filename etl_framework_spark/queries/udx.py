@@ -8,6 +8,8 @@ float accumulation so results are partition-order invariant.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple  # noqa: UP035 — resolvable for Spark's UDF signature inference
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -162,3 +164,80 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.n_tokens, s.n_chars "
         "FROM __docs_udtf d, LATERAL doc_stats(d.text) s"
     )
+
+
+# --------------------------------------------------------------------------
+# X2b — scalar-iterator pandas UDF (amortized per-batch init)
+# --------------------------------------------------------------------------
+@query(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT doc_id,
+           round(n_chars * 0.25 + len(string_split(text, ' ')) * 1.5, 6)
+             AS est_tokens
+    FROM documents
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-series pandas UDF (X2 variant): the production
+    shape for kernels with expensive one-time init (model load,
+    tokenizer build) — init runs once per PARTITION, then every Arrow
+    batch streams through. Here the 'model' is a pair of fitted
+    coefficients applied vectorized."""
+    from pyspark.sql.functions import pandas_udf
+
+    prep(spark)
+
+    @pandas_udf("double")
+    def est_tokens(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        coef_chars, coef_words = 0.25, 1.5  # "loaded model", once per worker
+        for n_chars, n_words in it:
+            yield (n_chars * coef_chars + n_words * coef_words).round(6)
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("nc"),
+        F.size(F.split("text", " ")).cast("double").alias("nw"),
+    )
+    return docs.select(
+        "doc_id", est_tokens(F.col("nc"), F.col("nw")).alias("est_tokens")
+    )
+
+
+# --------------------------------------------------------------------------
+# X2c — mapInArrow: zero-copy RecordBatch hook
+# --------------------------------------------------------------------------
+@query(
+    "udf_arrow_map",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+    FROM documents
+    """,
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (X2 low-level variant): the kernel receives raw
+    pyarrow RecordBatches — no pandas conversion at all, the cheapest
+    Python hook Spark offers. Byte/word counts computed with Arrow
+    compute kernels (C++, vectorized)."""
+    prep(spark)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                    pc.cast(
+                        pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "n_words"],
+            )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(kernel, "doc_id long, n_bytes long, n_words long")
