@@ -954,3 +954,35 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bot_flag"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# LISTAGG / string_agg — ordered string concatenation per group
+# --------------------------------------------------------------------------
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS members,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg semantics: members of each region as one
+    ordered CSV string. Spark expresses it as
+    array_join(sort_array(collect_list(...))) — the explicit ORDER BY
+    inside the aggregate that makes string concatenation
+    deterministic across partitionings."""
+    prep(spark)
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("members"),
+            F.count("*").alias("n"),
+        )
+    )
