@@ -71,3 +71,50 @@ def test_csv_failfast_raises_on_malformed(spark, tmp_path):
     with _pytest.raises(Exception) as exc:
         df.collect()
     assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
+
+
+def test_every_pipeline_op_handles_empty_input(spark):
+    """Zero-row inputs flow through every registered spec op without
+    crashing (the 3 a.m. empty-partition case): each op gets an empty
+    frame with a suitable schema and must return an empty result with
+    a stable schema."""
+    from pyspark.sql import functions as F
+
+    from etl_framework_spark.pipeline import OPS
+
+    empty = spark.createDataFrame(
+        [], "k long, v double, ts timestamp, cat string"
+    )
+    empty_right = spark.createDataFrame([], "k long, w double, rts timestamp")
+    empty_right_rk = spark.createDataFrame([], "rk long, w double, rts timestamp")
+    calls = {
+        "filter": dict(condition="v > 0"),
+        "select": dict(exprs=["k", "v * 2 AS v2"]),
+        "with_columns": dict(columns={"v2": "v + 1"}),
+        "drop": dict(columns=["cat"]),
+        "join": dict(right=empty_right_rk, on="k = rk", how="inner"),
+        "aggregate": dict(group_by=["cat"], aggs={"n": "count(*)"}),
+        "window": dict(columns={"rn": "row_number() OVER (PARTITION BY cat ORDER BY v)"}),
+        "distinct": {},
+        "dedup": dict(keys=["k"], order_by=["v DESC"]),
+        "union": dict(right=empty),
+        "merge_upsert": dict(right=empty, key="k"),
+        "topk_per_group": dict(keys=["cat"], order_by=["v DESC", "k"], k=3),
+        "asof_join": dict(
+            right=empty_right, on="k", left_ts="ts", right_ts="rts",
+            payload_cols=["w"], tiebreak="k",
+        ),
+        "sessionize": dict(key="k", ts="ts", gap_minutes=30),
+        "hash_sample": dict(keys=["k"], fraction=0.5),
+        "quality_gate": dict(bounds={"v": [0, 10]}, allow={"cat": ["a"]}),
+        "order_by": dict(exprs=["v DESC"]),
+        "limit": dict(n=5),
+        "repartition": dict(num=2),
+        "validate": dict(checks=[]),
+    }
+    missing = set(OPS) - set(calls)
+    assert not missing, f"ops without an empty-input case: {missing}"
+    for name, kwargs in calls.items():
+        out = OPS[name](empty, **kwargs)
+        assert out.count() == 0, name
+        assert out.schema is not None, name
