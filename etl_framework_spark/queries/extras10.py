@@ -986,3 +986,35 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT — Spark 4 semi-structured type (parse once, extract cheaply)
+# --------------------------------------------------------------------------
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+           json_extract(props, '$.missing') IS NULL AS miss_null
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse_json once into the binary variant
+    encoding, then variant_get extracts fields without re-parsing —
+    the semi-structured path that replaces per-access get_json_object
+    string parsing (one parse per row instead of one per field, the
+    difference that matters when a 100 TB events table carries wide
+    JSON payloads). Missing paths yield NULL, matching JSON
+    semantics."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        (F.expr("variant_get(v, '$.k', 'int')") % 10).alias("k_mod"),
+        F.expr("variant_get(v, '$.missing', 'int')").isNull().alias("miss_null"),
+    )
