@@ -1018,3 +1018,77 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("variant_get(v, '$.k', 'int')") % 10).alias("k_mod"),
         F.expr("variant_get(v, '$.missing', 'int')").isNull().alias("miss_null"),
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator calibration — estimated vs exact Jaccard per pair
+# --------------------------------------------------------------------------
+def _minhash_est_oracle() -> str:
+    from etl_framework_spark.operators.dedup import duck_minhash
+
+    sig_exprs = ", ".join(
+        f"{e} AS m{i}" for i, e in enumerate(duck_minhash("ts", 16))
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    return f"""
+    WITH toksets AS (SELECT doc_id, lang, source,
+                            list_distinct(string_split(text, ' ')) AS ts
+                     FROM documents),
+    sigs AS (SELECT doc_id, lang, source, ts, {sig_exprs} FROM toksets)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(({agree}) AS INT) AS n_agree,
+           round(({agree}) / 16.0, 6) AS est_jac,
+           round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                 / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6)
+             AS exact_jac,
+           round(({agree}) / 16.0
+                 - CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                   / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6)
+             AS err
+    FROM sigs a JOIN sigs b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    """
+
+
+@query("llm_minhash_est_err", oracle=_minhash_est_oracle())
+def llm_minhash_est_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every blocked pair, the
+    signature-agreement estimate of Jaccard (the unbiased estimator
+    LSH banding is built on) next to the exact value and the error —
+    the diagnostic that tells you whether K=16 permutations suffice
+    for YOUR corpus before you trust the bands at scale. Signatures
+    come from the same md5-sliced machinery as llm_dedup_minhash, so
+    the oracle reproduces them bit-for-bit."""
+    prep(spark)
+    from etl_framework_spark.operators.dedup import attach_minhash
+
+    docs = table(spark, sf_dir, "documents")
+    toksets = docs.select(
+        "doc_id", "lang", "source", F.array_distinct(tokens("text")).alias("ts")
+    )
+    sigs = attach_minhash(toksets, "ts", 16)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0) for i in range(16)
+    )
+    inter = F.size(F.array_intersect("a.ts", "b.ts")).cast("double")
+    union = F.size("a.ts") + F.size("b.ts") - inter
+    exact = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            agree.cast("int").alias("n_agree"),
+            F.round(agree / 16.0, 6).alias("est_jac"),
+            F.round(exact, 6).alias("exact_jac"),
+            F.round(agree / 16.0 - exact, 6).alias("err"),
+        )
+    )

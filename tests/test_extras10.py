@@ -304,6 +304,19 @@ def test_bot_score_entropy_and_rules(spark):
     assert (out.bot_flag == want).all()
 
 
+def test_minhash_estimator_unbiasedness(spark):
+    """The signature-agreement estimate must track exact Jaccard:
+    bounded error per pair (16 perms -> se <= 0.125) on average, and
+    identical-set pairs (if any) estimate exactly 1."""
+    out = ent.queries()["llm_minhash_est_err"](spark, SF_SMALL).toPandas()
+    assert out.n_agree.between(0, 16).all()
+    assert ((out.est_jac * 16).round() == out.n_agree).all()
+    # mean absolute error across pairs well under 2 standard errors
+    assert out.err.abs().mean() < 0.25
+    exact_ones = out[out.exact_jac == 1.0]
+    assert (exact_ones.n_agree == 16).all()
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
