@@ -1092,3 +1092,58 @@ def llm_minhash_est_err(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(agree / 16.0 - exact, 6).alias("err"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast backtest — expanding-window evaluation
+# --------------------------------------------------------------------------
+@query(
+    "events_forecast_backtest",
+    oracle="""
+    WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+    pred AS (SELECT *,
+                    avg(CAST(n AS DOUBLE)) OVER (
+                      PARTITION BY event_type, dayofweek(d)
+                      ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS yhat
+             FROM daily)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           round(avg(abs(n - yhat)), 6) AS mae,
+           round(avg(abs(n - yhat) / n), 6) AS mape,
+           round(max(abs(n - yhat)), 6) AS worst_abs_err
+    FROM pred WHERE yhat IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's event
+    count from the expanding mean of PRIOR same-weekday days (no
+    leakage — the frame ends 1 preceding), then score MAE/MAPE per
+    type. The baseline every fancier forecaster must beat, and the
+    backtest harness shape — per-(type, dow) windows keep state
+    bounded by one series' history."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        W.partitionBy("event_type", F.dayofweek("d"))
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pred = daily.withColumn("yhat", F.avg(F.col("n").cast("double")).over(w))
+    err = F.abs(F.col("n") - F.col("yhat"))
+    return (
+        pred.filter(F.col("yhat").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.round(F.avg(err), 6).alias("mae"),
+            F.round(F.avg(err / F.col("n")), 6).alias("mape"),
+            F.round(F.max(err), 6).alias("worst_abs_err"),
+        )
+    )

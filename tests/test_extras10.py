@@ -317,6 +317,25 @@ def test_minhash_estimator_unbiasedness(spark):
     assert (exact_ones.n_agree == 16).all()
 
 
+def test_forecast_backtest_no_leakage(spark):
+    """The first scored day per (type, dow) must have at least one
+    prior same-dow observation (frame ends 1 preceding), so scored
+    days < total days; errors are non-negative and finite."""
+    out = ent.queries()["events_forecast_backtest"](spark, SF_SMALL).toPandas()
+    daily_total = (
+        table(spark, SF_SMALL, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")))
+        .count()
+        .groupBy("event_type")
+        .count()
+        .toPandas()
+        .set_index("event_type")["count"]
+    )
+    for _, r in out.iterrows():
+        assert 0 < r.n_scored < daily_total[r.event_type]
+        assert r.mae >= 0 and r.mape >= 0 and r.worst_abs_err >= r.mae
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
