@@ -1147,3 +1147,72 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(err), 6).alias("worst_abs_err"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve — cumulative revenue per customer by cohort age
+# --------------------------------------------------------------------------
+@query(
+    "cohort_ltv",
+    oracle="""
+    WITH first_order AS (SELECT o_custkey,
+                                date_trunc('month', min(o_orderdate)) AS cohort
+                         FROM orders GROUP BY o_custkey),
+    sized AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM first_order GROUP BY cohort),
+    rev AS (SELECT f.cohort,
+                   CAST(datediff('month', f.cohort,
+                                 date_trunc('month', o.o_orderdate)) AS INT)
+                     AS age_months,
+                   sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+            GROUP BY 1, 2),
+    cum AS (SELECT cohort, age_months, cohort_size,
+                   sum(revenue) OVER (PARTITION BY cohort ORDER BY age_months)
+                     AS cum_revenue
+            FROM rev JOIN sized USING (cohort))
+    SELECT cohort, age_months, cohort_size,
+           CAST(cum_revenue AS DOUBLE) AS cum_revenue,
+           floor(CAST(cum_revenue AS DOUBLE) / cohort_size * 100 + 0.5) / 100
+             AS ltv_per_customer
+    FROM cum
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by first-order
+    month; cumulative revenue per cohort by months-since-first,
+    normalized per customer — the curve that says when a cohort pays
+    back. First-order table is one agg over the fact; the running sum
+    partitions by cohort (|months| rows each)."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    sized = first.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    j = o.join(first, "o_custkey")
+    age = (
+        (F.year("o_orderdate") - F.year("cohort")) * 12
+        + (F.month("o_orderdate") - F.month("cohort"))
+    ).cast("int")
+    # decimal money math: exact and summation-order independent, so
+    # the running sum is bit-identical across engines/partitionings
+    rev = j.groupBy("cohort", age.alias("age_months")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    w = W.partitionBy("cohort").orderBy("age_months")
+    cum = (
+        rev.join(F.broadcast(sized), "cohort")
+        .withColumn("cum_revenue", F.sum("revenue").over(w))
+    )
+    return cum.select(
+        "cohort",
+        "age_months",
+        "cohort_size",
+        F.col("cum_revenue").cast("double").alias("cum_revenue"),
+        # floor-quantize instead of round(): pure double arithmetic is
+        # bit-identical across engines, while round()'s decimal-tie
+        # behavior differs at exact half-cents (values are positive)
+        (F.floor(F.col("cum_revenue").cast("double") / F.col("cohort_size") * 100 + 0.5) / 100
+        ).alias("ltv_per_customer"),
+    )

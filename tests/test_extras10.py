@@ -336,6 +336,26 @@ def test_forecast_backtest_no_leakage(spark):
         assert r.mae >= 0 and r.mape >= 0 and r.worst_abs_err >= r.mae
 
 
+def test_cohort_ltv_monotone_and_conserving(spark):
+    out = ent.queries()["cohort_ltv"](spark, SF_SMALL).toPandas()
+    for _, g in out.groupby("cohort"):
+        g = g.sort_values("age_months")
+        assert g.cum_revenue.is_monotonic_increasing
+        assert (g.cohort_size == g.cohort_size.iloc[0]).all()
+    # final cumulative across cohorts == total revenue
+    total = (
+        table(spark, SF_SMALL, "orders")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .collect()[0][0]
+    )
+    final = out.sort_values("age_months").groupby("cohort").cum_revenue.last().sum()
+    assert abs(float(total) - final) < 0.01
+    # cohort sizes partition the customer base
+    sizes = out.groupby("cohort").cohort_size.first().sum()
+    n_cust = table(spark, SF_SMALL, "orders").select("o_custkey").distinct().count()
+    assert sizes == n_cust
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
