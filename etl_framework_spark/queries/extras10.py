@@ -1216,3 +1216,143 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("cum_revenue").cast("double") / F.col("cohort_size") * 100 + 0.5) / 100
         ).alias("ltv_per_customer"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fulfillment lag distribution per order priority
+# --------------------------------------------------------------------------
+@query(
+    "orders_ship_lag",
+    oracle="""
+    WITH lags AS (SELECT o.o_orderpriority,
+                         CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS INT)
+                           AS lag_days
+                  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(lag_days AS DOUBLE)), 6) AS avg_lag,
+           round(quantile_cont(CAST(lag_days AS DOUBLE), 0.5), 6) AS p50_lag,
+           round(quantile_cont(CAST(lag_days AS DOUBLE), 0.9), 6) AS p90_lag,
+           CAST(max(lag_days) AS INT) AS max_lag
+    FROM lags GROUP BY o_orderpriority
+    """,
+)
+def orders_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-lag SLA profile: days from order to line shipment,
+    mean/p50/p90/max per priority class — the ops report that shows
+    whether urgent orders actually ship faster. Exact interpolated
+    percentiles over the per-priority lag sets."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lags = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("lag_days"),
+    )
+    d = F.col("lag_days").cast("double")
+    return lags.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(d), 6).alias("avg_lag"),
+        F.round(F.expr("percentile(CAST(lag_days AS DOUBLE), 0.5)"), 6).alias("p50_lag"),
+        F.round(F.expr("percentile(CAST(lag_days AS DOUBLE), 0.9)"), 6).alias("p90_lag"),
+        F.max("lag_days").alias("max_lag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient — activity concentration across users
+# --------------------------------------------------------------------------
+@query(
+    "events_gini",
+    oracle="""
+    WITH per_user AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS x
+                      FROM events GROUP BY user_id),
+    ranked AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+                      count(*) OVER () AS n, sum(x) OVER () AS tot
+               FROM per_user)
+    SELECT CAST(max(n) AS BIGINT) AS n_users,
+           round(max(tot), 1) AS n_events,
+           round(2.0 * sum(i * x) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity — the concentration
+    statistic behind 'do 20% of users generate 80% of events'
+    (0 = uniform, →1 = one user dominates). Rank-weighted exact
+    formula: one per-user agg (fact-sized shuffle), then windows over
+    the |users|-sized rollup only."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").cast("double").alias("x"))
+    w_rank = W.orderBy("x", "user_id")
+    w_all = W.partitionBy()
+    ranked = per_user.select(
+        "x",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.round(F.max("tot"), 1).alias("n_events"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Temporal mix drift — weekly event-type KL divergence vs the global mix
+# --------------------------------------------------------------------------
+@query(
+    "events_mix_drift",
+    oracle="""
+    WITH wk AS (SELECT date_trunc('week', ts) AS week, event_type,
+                       CAST(count(*) AS DOUBLE) AS c
+                FROM events GROUP BY 1, 2),
+    wtot AS (SELECT week, sum(c) AS wn FROM wk GROUP BY week),
+    gtot AS (SELECT event_type, sum(c) AS gc FROM wk GROUP BY event_type),
+    g AS (SELECT event_type, gc / (SELECT sum(gc) FROM gtot) AS q FROM gtot),
+    terms AS (SELECT wk.week, wk.event_type,
+                     (wk.c / wtot.wn) AS p, g.q
+              FROM wk JOIN wtot USING (week) JOIN g USING (event_type))
+    SELECT week,
+           round(sum(p * ln(p / q)), 6) AS kl_vs_global,
+           CAST(count(*) AS BIGINT) AS n_types
+    FROM terms GROUP BY week
+    """,
+)
+def events_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal mix drift: each week's event-type distribution scored
+    by KL divergence against the corpus-wide mix — the alarm for 'the
+    traffic changed shape this week'. Weekly cells are
+    |weeks|x|types|-bounded; the global mix broadcasts back onto
+    them."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week"), "event_type"
+    ).agg(F.count("*").cast("double").alias("c"))
+    wtot = wk.groupBy("week").agg(F.sum("c").alias("wn"))
+    gtot = wk.groupBy("event_type").agg(F.sum("c").alias("gc"))
+    total = gtot.agg(F.sum("gc").alias("t"))
+    g = gtot.crossJoin(F.broadcast(total)).select(
+        "event_type", (F.col("gc") / F.col("t")).alias("q")
+    )
+    terms = (
+        wk.join(wtot, "week")
+        .join(F.broadcast(g), "event_type")
+        .select("week", "event_type", (F.col("c") / F.col("wn")).alias("p"), "q")
+    )
+    return terms.groupBy("week").agg(
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias(
+            "kl_vs_global"
+        ),
+        F.count("*").alias("n_types"),
+    )

@@ -356,6 +356,36 @@ def test_cohort_ltv_monotone_and_conserving(spark):
     assert sizes == n_cust
 
 
+def test_gini_bounds_and_lorenz_consistency(spark):
+    import numpy as np
+
+    out = ent.queries()["events_gini"](spark, SF_SMALL).toPandas().iloc[0]
+    assert 0 <= out.gini < 1
+    counts = (
+        table(spark, SF_SMALL, "events").groupBy("user_id").count().toPandas()["count"]
+    )
+    x = np.sort(counts.to_numpy().astype(float))
+    n = len(x)
+    gini = 2 * np.sum(np.arange(1, n + 1) * x) / (n * x.sum()) - (n + 1) / n
+    assert abs(out.gini - gini) < 1e-6
+    assert out.n_users == n
+
+
+def test_mix_drift_kl_nonnegative(spark):
+    out = ent.queries()["events_mix_drift"](spark, SF_SMALL).toPandas()
+    assert (out.kl_vs_global >= -1e-9).all()
+    assert out.n_types.between(1, 5).all()
+
+
+def test_ship_lag_ordering(spark):
+    out = ent.queries()["orders_ship_lag"](spark, SF_SMALL).toPandas()
+    assert (out.p50_lag <= out.p90_lag).all()
+    assert (out.p90_lag <= out.max_lag + 1e-9).all()
+    assert (out.avg_lag >= 0).all()
+    n_li = table(spark, SF_SMALL, "lineitem").count()
+    assert out.n.sum() == n_li
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
