@@ -1356,3 +1356,75 @@ def events_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_types"),
     )
+
+
+# --------------------------------------------------------------------------
+# A/B test evaluation — hash-assigned arms, Welch z-test on mean value
+# --------------------------------------------------------------------------
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH tagged AS (SELECT CAST(((user_id * 2654435761) % 2 + 2) % 2 AS INT)
+                             AS arm,
+                           value
+                    FROM events),
+    arms AS (SELECT arm,
+                    CAST(count(*) AS BIGINT) AS n,
+                    avg(value) AS m,
+                    var_samp(value) AS v
+             FROM tagged GROUP BY arm),
+    wide AS (SELECT
+               max(CASE WHEN arm = 0 THEN n END) AS n0,
+               max(CASE WHEN arm = 0 THEN m END) AS m0,
+               max(CASE WHEN arm = 0 THEN v END) AS v0,
+               max(CASE WHEN arm = 1 THEN n END) AS n1,
+               max(CASE WHEN arm = 1 THEN m END) AS m1,
+               max(CASE WHEN arm = 1 THEN v END) AS v1
+             FROM arms)
+    SELECT n0, round(m0, 6) AS mean0, n1, round(m1, 6) AS mean1,
+           round(m1 - m0, 6) AS lift,
+           round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 6) AS z,
+           abs((m1 - m0) / sqrt(v0 / n0 + v1 / n1)) > 1.959963984540054
+             AS significant
+    FROM wide
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation primitive: traffic deterministically hash-split
+    into two arms (multiplicative hashing — reproducible, no RNG),
+    mean event value compared with the Welch large-sample z-test. On
+    this synthetic traffic the arms MUST NOT differ significantly —
+    the A/A sanity check every experimentation platform runs before
+    trusting its assignment; the same plan with a real treatment flag
+    is the A/B readout. One partial-agg shuffle to 2 rows."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.pmod(F.col("user_id") * 2654435761, F.lit(2)).cast("int").alias("arm"),
+        "value",
+    )
+    arms = tagged.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("m"))).alias("m0"),
+        F.max(F.when(F.col("arm") == 0, F.col("v"))).alias("v0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("arm") == 1, F.col("v"))).alias("v1"),
+    )
+    z = (F.col("m1") - F.col("m0")) / F.sqrt(
+        F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    )
+    return wide.select(
+        "n0",
+        F.round("m0", 6).alias("mean0"),
+        "n1",
+        F.round("m1", 6).alias("mean1"),
+        F.round(F.col("m1") - F.col("m0"), 6).alias("lift"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.959963984540054).alias("significant"),
+    )

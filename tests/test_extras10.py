@@ -386,6 +386,26 @@ def test_ship_lag_ordering(spark):
     assert out.n.sum() == n_li
 
 
+def test_ab_test_aa_sanity(spark):
+    """Hash-split arms on untreated traffic: balanced sizes and no
+    significant difference (the A/A check), z matching scipy-free
+    recompute."""
+    import numpy as np
+
+    out = ent.queries()["events_ab_test"](spark, SF_SMALL).toPandas().iloc[0]
+    total = table(spark, SF_SMALL, "events").count()
+    assert out.n0 + out.n1 == total
+    assert 0.3 < out.n0 / total < 0.7  # hash split roughly balanced
+    assert not out.significant  # A/A must not alarm
+    ev = table(spark, SF_SMALL, "events").select("user_id", "value").toPandas()
+    arm = (ev.user_id * 2654435761) % 2
+    v0, v1 = ev.value[arm == 0], ev.value[arm == 1]
+    z = (v1.mean() - v0.mean()) / np.sqrt(
+        v0.var(ddof=1) / len(v0) + v1.var(ddof=1) / len(v1)
+    )
+    assert abs(out.z - z) < 1e-4
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
