@@ -87,9 +87,10 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "llm_kmeans",
-    oracle=f"""
+# Shared CTE chain replaying both Lloyd iterations — reused by the
+# cluster-size oracle (llm_kmeans) and the purity/NMI evaluation
+# (llm_cluster_purity in extras10).
+KMEANS_A2_CTE = f"""
     WITH init AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
              embedding AS c
@@ -119,20 +120,15 @@ def _update(assigned: DataFrame) -> DataFrame:
         SELECT *, row_number() OVER (PARTITION BY vec_id
                                      ORDER BY dist, cid) AS rn
         FROM d2) WHERE rn = 1)
-    SELECT cid, count(*) AS n_members FROM a2 GROUP BY cid
-    """,
-)
-def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means (k=8, 2 Lloyd iterations, deterministic init = the k
-    lowest vec_ids): init → assign → update → assign → cluster sizes,
-    unrolled into a single collect-free plan. The oracle replays the
-    identical arithmetic in DuckDB CTEs; matching requires every
-    assignment in BOTH iterations to agree, so this checks the whole
-    iterative pipeline, not just the final histogram."""
-    prep(spark)
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # k lowest ids via TakeOrderedAndProject (per-partition heaps), THEN
-    # a row_number over just those k rows — never a global window sort.
+"""
+
+
+def kmeans_a2(spark, sf_dir):
+    """The final (iteration-2) assignment DataFrame — shared between
+    llm_kmeans and the purity/NMI evaluation."""
+    from etl_framework_spark.catalog import table as _t
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     init = (
         emb.orderBy("vec_id")
         .limit(K)
@@ -144,7 +140,28 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a1 = _assign(emb, init)
     cent = _update(a1)
-    a2 = _assign(emb, cent)
+    return _assign(emb, cent)
+
+
+@query(
+    "llm_kmeans",
+    oracle=KMEANS_A2_CTE
+    + """
+    SELECT cid, count(*) AS n_members FROM a2 GROUP BY cid
+    """,
+)
+def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=8, 2 Lloyd iterations, deterministic init = the k
+    lowest vec_ids): init → assign → update → assign → cluster sizes,
+    unrolled into a single collect-free plan. The oracle replays the
+    identical arithmetic in DuckDB CTEs; matching requires every
+    assignment in BOTH iterations to agree, so this checks the whole
+    iterative pipeline, not just the final histogram."""
+    prep(spark)
+    # init = k lowest ids via TakeOrderedAndProject (per-partition
+    # heaps) then a row_number over just those k rows — never a global
+    # window sort (see kmeans_a2).
+    a2 = kmeans_a2(spark, sf_dir)
     return a2.groupBy("cid").agg(F.count("*").alias("n_members"))
 
 

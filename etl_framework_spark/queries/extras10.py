@@ -1428,3 +1428,82 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (F.abs(z) > 1.959963984540054).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# Clustering quality — purity and NMI of k-means clusters vs labels
+# --------------------------------------------------------------------------
+def _purity_oracle() -> str:
+    from etl_framework_spark.queries.cluster_q import KMEANS_A2_CTE
+
+    return KMEANS_A2_CTE + """,
+    j AS (SELECT a2.cid, e.label FROM a2 JOIN embeddings e USING (vec_id)),
+    cont AS (SELECT cid, label, CAST(count(*) AS DOUBLE) AS c
+             FROM j GROUP BY cid, label),
+    tot AS (SELECT sum(c) AS n FROM cont),
+    pc AS (SELECT cid, sum(c) AS nc FROM cont GROUP BY cid),
+    pl AS (SELECT label, sum(c) AS nl FROM cont GROUP BY label),
+    mx AS (SELECT cid, max(c) AS m FROM cont GROUP BY cid),
+    mi AS (SELECT sum((c / n) * ln((c * n) / (nc * nl))) AS i
+           FROM cont JOIN pc USING (cid) JOIN pl USING (label) CROSS JOIN tot),
+    hc AS (SELECT -sum((nc / n) * ln(nc / n)) AS h FROM pc CROSS JOIN tot),
+    hl AS (SELECT -sum((nl / n) * ln(nl / n)) AS h FROM pl CROSS JOIN tot)
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_vecs,
+           CAST((SELECT count(*) FROM pc) AS BIGINT) AS n_clusters,
+           round((SELECT sum(m) FROM mx) / (SELECT n FROM tot), 6) AS purity,
+           round(2 * (SELECT i FROM mi)
+                 / ((SELECT h FROM hc) + (SELECT h FROM hl)), 6) AS nmi
+    """
+
+
+@query("llm_cluster_purity", oracle=_purity_oracle())
+def llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-evaluation composite: purity (majority-label mass)
+    and normalized mutual information of the k-means assignment
+    against the embedding labels — the scorecard that says whether
+    unsupervised clusters recover known structure. Replays the exact
+    kmeans assignment (shared CTE/plan with llm_kmeans), then all
+    statistics reduce over the k x |labels| contingency table."""
+    prep(spark)
+    from etl_framework_spark.queries.cluster_q import kmeans_a2
+
+    a2 = kmeans_a2(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cont = (
+        a2.join(emb, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    tot = cont.agg(F.sum("c").alias("n"))
+    pc = cont.groupBy("cid").agg(F.sum("c").alias("nc"))
+    pl = cont.groupBy("label").agg(F.sum("c").alias("nl"))
+    mx = cont.groupBy("cid").agg(F.max("c").alias("m"))
+    terms = (
+        cont.join(F.broadcast(pc), "cid")
+        .join(F.broadcast(pl), "label")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi = terms.agg(
+        F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") * F.col("n") / (F.col("nc") * F.col("nl")))).alias("i")
+    )
+    hc = pc.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("nc") / F.col("n")) * F.log(F.col("nc") / F.col("n")))).alias("h")
+    )
+    hl = pl.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("nl") / F.col("n")) * F.log(F.col("nl") / F.col("n")))).alias("h")
+    )
+    pur = mx.agg(F.sum("m").alias("sm")).crossJoin(F.broadcast(tot))
+    nclu = pc.agg(F.count("*").alias("k"))
+    return (
+        tot.crossJoin(F.broadcast(nclu))
+        .crossJoin(F.broadcast(pur.select((F.col("sm") / F.col("n")).alias("purity"))))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc.select(F.col("h").alias("h_c"))))
+        .crossJoin(F.broadcast(hl.select(F.col("h").alias("h_l"))))
+        .select(
+            F.col("n").cast("bigint").alias("n_vecs"),
+            F.col("k").cast("bigint").alias("n_clusters"),
+            F.round("purity", 6).alias("purity"),
+            F.round(2 * F.col("i") / (F.col("h_c") + F.col("h_l")), 6).alias("nmi"),
+        )
+    )

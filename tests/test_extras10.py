@@ -406,6 +406,19 @@ def test_ab_test_aa_sanity(spark):
     assert abs(out.z - z) < 1e-4
 
 
+def test_cluster_purity_bounds(spark):
+    out = ent.queries()["llm_cluster_purity"](spark, SF_SMALL).toPandas().iloc[0]
+    n = table(spark, SF_SMALL, "embeddings").count()
+    assert out.n_vecs == n
+    assert 1 <= out.n_clusters <= 8
+    # purity at least the majority-class share, at most 1
+    label_share = (
+        table(spark, SF_SMALL, "embeddings").groupBy("label").count().toPandas()["count"]
+    )
+    assert label_share.max() / n - 1e-9 <= out.purity <= 1
+    assert -1e-9 <= out.nmi <= 1 + 1e-9
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
