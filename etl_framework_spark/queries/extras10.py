@@ -1507,3 +1507,63 @@ def llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(2 * F.col("i") / (F.col("h_c") + F.col("h_l")), 6).alias("nmi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Survival curve — fraction of users still active k days after first seen
+# --------------------------------------------------------------------------
+_SURV_DAYS = 30
+
+
+@query(
+    "events_survival",
+    oracle=f"""
+    WITH life AS (SELECT user_id,
+                         CAST(datediff('day', date_trunc('day', min(ts)),
+                                       date_trunc('day', max(ts))) AS INT)
+                           AS lifetime_days
+                  FROM events GROUP BY user_id),
+    grid AS (SELECT unnest(generate_series(0, {_SURV_DAYS - 1})) AS k),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM life)
+    SELECT CAST(k AS INT) AS k,
+           CAST((SELECT count(*) FROM life WHERE lifetime_days >= k) AS BIGINT)
+             AS n_surviving,
+           round((SELECT count(*) FROM life WHERE lifetime_days >= k)
+                 / CAST((SELECT n_users FROM n) AS DOUBLE), 6) AS surviving_frac
+    FROM grid
+    """,
+)
+def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve: for each day offset k, the fraction of users
+    whose observed lifetime (first to last event) reaches k — the
+    retention-decay curve product teams read before cohort detail.
+    Lifetimes are one per-user agg; the curve is a broadcast of the
+    30-day grid against the |users|-sized rollup (grid join, never a
+    fact-sized cross product)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.date_trunc("day", F.max("ts")).cast("date"),
+            F.date_trunc("day", F.min("ts")).cast("date"),
+        )
+        .cast("int")
+        .alias("lifetime_days")
+    )
+    grid = spark.range(_SURV_DAYS).select(F.col("id").cast("int").alias("k"))
+    n = life.agg(F.count("*").alias("n_users"))
+    joined = life.crossJoin(F.broadcast(grid)).filter(
+        F.col("lifetime_days") >= F.col("k")
+    )
+    surv = joined.groupBy("k").agg(F.count("*").alias("n_surviving"))
+    return (
+        grid.join(surv, "k", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "k",
+            F.coalesce("n_surviving", F.lit(0)).alias("n_surviving"),
+            F.round(
+                F.coalesce("n_surviving", F.lit(0)) / F.col("n_users").cast("double"), 6
+            ).alias("surviving_frac"),
+        )
+    )

@@ -419,6 +419,15 @@ def test_cluster_purity_bounds(spark):
     assert -1e-9 <= out.nmi <= 1 + 1e-9
 
 
+def test_survival_curve_monotone(spark):
+    out = ent.queries()["events_survival"](spark, SF_SMALL).toPandas().sort_values("k")
+    assert len(out) == 30
+    assert out.n_surviving.is_monotonic_decreasing
+    assert out.surviving_frac.between(0, 1).all()
+    n_users = table(spark, SF_SMALL, "events").select("user_id").distinct().count()
+    assert out.iloc[0].n_surviving == n_users  # everyone survives day 0
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
