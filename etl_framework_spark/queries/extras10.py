@@ -1567,3 +1567,54 @@ def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("surviving_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-aware dedup survivor policy — keep the BEST duplicate
+# --------------------------------------------------------------------------
+def _keep_best_oracle() -> str:
+    from etl_framework_spark.queries.llm import _duck_minhash_cte
+
+    return _duck_minhash_cte() + """,
+    bmins AS (SELECT band, bkey, min(doc_id) AS bmin FROM bands GROUP BY 1, 2),
+    clusters AS (SELECT b.doc_id, min(m.bmin) AS cluster_id
+                 FROM bands b JOIN bmins m
+                   ON b.band = m.band AND b.bkey = m.bkey
+                 GROUP BY b.doc_id),
+    scored AS (SELECT c.doc_id, c.cluster_id, d.n_chars AS quality
+               FROM clusters c JOIN documents d USING (doc_id)),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                            ORDER BY quality DESC, doc_id) AS rn,
+                      first_value(doc_id) OVER (PARTITION BY cluster_id
+                                                ORDER BY quality DESC, doc_id)
+                        AS survivor_id
+               FROM scored)
+    SELECT doc_id, cluster_id, quality, survivor_id, rn = 1 AS keep
+    FROM ranked
+    """
+
+
+@query("llm_dedup_keep_best", oracle=_keep_best_oracle())
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivor POLICY: within each MinHash near-dup cluster,
+    keep the highest-quality member (longest doc here; any scoring
+    column slots in) instead of the arbitrary lowest id — the policy
+    real corpus curation wants, since near-dups often differ by
+    truncation and min-id keeps the truncated one ~half the time.
+    Reuses the exact cluster assignment; one window per cluster."""
+    prep(spark)
+    from etl_framework_spark.queries.llm import llm_dedup_minhash
+
+    clusters = llm_dedup_minhash(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("quality")
+    )
+    scored = clusters.join(docs, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("quality").desc(), "doc_id")
+    return scored.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        F.first("doc_id").over(w).alias("survivor_id"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -428,6 +428,20 @@ def test_survival_curve_monotone(spark):
     assert out.iloc[0].n_surviving == n_users  # everyone survives day 0
 
 
+def test_keep_best_policy_invariants(spark):
+    out = ent.queries()["llm_dedup_keep_best"](spark, SF_SMALL).toPandas()
+    # exactly one survivor per cluster, and it is the max-quality member
+    for cid, g in out.groupby("cluster_id"):
+        assert g.keep.sum() == 1
+        kept = g[g.keep].iloc[0]
+        assert kept.quality == g.quality.max()
+        assert (g.survivor_id == kept.doc_id).all()
+    # same clusters as the min-id policy, different survivor choice
+    base = ent.queries()["llm_dedup_minhash"](spark, SF_SMALL).toPandas()
+    merged = out.merge(base, on="doc_id", suffixes=("", "_base"))
+    assert (merged.cluster_id == merged.cluster_id_base).all()
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
