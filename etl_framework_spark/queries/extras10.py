@@ -1618,3 +1618,59 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("doc_id").over(w).alias("survivor_id"),
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Budgeted data selection — best docs per language until a token quota
+# --------------------------------------------------------------------------
+_LANG_TOKEN_BUDGET = 10_000
+
+
+@query(
+    "train_budget_select",
+    oracle=f"""
+    WITH scored AS (SELECT doc_id, lang,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                           n_chars AS quality
+                    FROM documents),
+    ranked AS (SELECT *,
+                      CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                               ORDER BY quality DESC, doc_id
+                                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS BIGINT)
+                        AS cum_tokens
+               FROM scored)
+    SELECT doc_id, lang, n_tokens, quality, cum_tokens,
+           cum_tokens - n_tokens < {_LANG_TOKEN_BUDGET} AS selected
+    FROM ranked
+    """,
+)
+def train_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget: per language, take docs in
+    quality order until the running token total passes the quota (a
+    doc is in while the budget has ANY room left — the standard
+    greedy knapsack relaxation). The mixture-quota shape of corpus
+    assembly: per-language windows partition the work, so each
+    language's sort is independent and bounded."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.col("n_chars").alias("quality"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "quality",
+        "cum_tokens",
+        (F.col("cum_tokens") - F.col("n_tokens") < _LANG_TOKEN_BUDGET).alias("selected"),
+    )

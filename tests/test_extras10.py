@@ -442,6 +442,22 @@ def test_keep_best_policy_invariants(spark):
     assert (merged.cluster_id == merged.cluster_id_base).all()
 
 
+def test_budget_select_greedy_property(spark):
+    out = ent.queries()["train_budget_select"](spark, SF_SMALL).toPandas()
+    for lang, g in out.groupby("lang"):
+        g = g.sort_values(["quality", "doc_id"], ascending=[False, True])
+        sel = g.selected.to_numpy()
+        # selection is a prefix in quality order
+        assert not (~sel[:-1] & sel[1:]).any()
+        picked = g[g.selected]
+        # the budget had room before each pick; over-shoot allowed once
+        assert ((picked.cum_tokens - picked.n_tokens) < 10_000).all()
+        # any unselected doc would start at/after the quota
+        rest = g[~g.selected]
+        if len(rest):
+            assert ((rest.cum_tokens - rest.n_tokens) >= 10_000).all()
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
