@@ -1674,3 +1674,95 @@ def train_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         (F.col("cum_tokens") - F.col("n_tokens") < _LANG_TOKEN_BUDGET).alias("selected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benford's law — leading-digit audit of order totals
+# --------------------------------------------------------------------------
+@query(
+    "stats_benford",
+    oracle="""
+    WITH digits AS (SELECT CAST(floor(o_totalprice
+                                      / power(10, floor(log10(o_totalprice))))
+                                AS INT) AS d
+                    FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d),
+    t AS (SELECT sum(n) AS tot FROM c)
+    SELECT d, n,
+           round(n / CAST(tot AS DOUBLE), 6) AS observed,
+           round(log10(1 + 1.0 / d), 6) AS benford,
+           round((n / CAST(tot AS DOUBLE) - log10(1 + 1.0 / d))
+                 * (n / CAST(tot AS DOUBLE) - log10(1 + 1.0 / d))
+                 / log10(1 + 1.0 / d), 6) AS chi2_term
+    FROM c CROSS JOIN t
+    """,
+)
+def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit: observed leading-digit shares of order
+    totals against log10(1+1/d) — the forensic/data-quality screen
+    for fabricated or truncated monetary data (synthetic uniform-ish
+    data fails it loudly, which is itself the diagnostic). 9-row
+    output from one partial-agg pass."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.floor(
+        F.col("o_totalprice") / F.pow(10.0, F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    c = o.select(d.alias("d")).groupBy("d").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    obs = F.col("n") / F.col("tot").cast("double")
+    ben = F.log10(1 + 1.0 / F.col("d"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "d",
+            "n",
+            F.round(obs, 6).alias("observed"),
+            F.round(ben, 6).alias("benford"),
+            F.round((obs - ben) * (obs - ben) / ben, 6).alias("chi2_term"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlation matrix — pairwise Pearson over the numeric fact columns
+# --------------------------------------------------------------------------
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_oracle() -> str:
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    rows = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+        f" round(corr({a}, {b}), 6) AS r FROM lineitem"
+        for a, b in pairs
+    )
+    return rows
+
+
+@query("stats_corr_matrix", oracle=_corr_matrix_oracle())
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the numeric fact columns in
+    long format — the profiling matrix that flags redundant or
+    derived columns before modeling. All six moment sets accumulate
+    in ONE scan (single multi-agg pass), then unpivot to rows — not
+    a scan per pair like the naive UNION the oracle runs."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"{a}|{b}") for a, b in pairs
+    ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', `{a}|{b}`" for a, b in pairs
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, r)"
+        )
+    )

@@ -458,6 +458,28 @@ def test_budget_select_greedy_property(spark):
             assert ((rest.cum_tokens - rest.n_tokens) >= 10_000).all()
 
 
+def test_benford_shares_and_expectation(spark):
+    import numpy as np
+
+    out = ent.queries()["stats_benford"](spark, SF_SMALL).toPandas()
+    assert set(out.d) <= set(range(1, 10))
+    assert abs(out.observed.sum() - 1) < 1e-5
+    assert abs(out.benford.sum() - 1) < 1e-5
+    assert np.allclose(out.benford, np.log10(1 + 1 / out.d), atol=1e-6)
+    assert (out.chi2_term >= 0).all()
+
+
+def test_corr_matrix_symmetric_bounds(spark):
+    out = ent.queries()["stats_corr_matrix"](spark, SF_SMALL).toPandas()
+    assert len(out) == 6
+    assert out.r.between(-1, 1).all()
+    # cross-check one pair against pandas
+    li = table(spark, SF_SMALL, "lineitem").select("l_quantity", "l_extendedprice").toPandas()
+    want = li.l_quantity.corr(li.l_extendedprice)
+    got = out[(out.col_a == "l_quantity") & (out.col_b == "l_extendedprice")].r.iloc[0]
+    assert abs(got - want) < 1e-5
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
