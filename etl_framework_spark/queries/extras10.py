@@ -1766,3 +1766,54 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, r)"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IQR outlier fences — boxplot rule over account balances per nation
+# --------------------------------------------------------------------------
+@query(
+    "stats_iqr_outliers",
+    oracle="""
+    WITH q AS (SELECT n_name,
+                      quantile_cont(s_acctbal, 0.25) AS q1,
+                      quantile_cont(s_acctbal, 0.75) AS q3
+               FROM supplier JOIN nation ON s_nationkey = n_nationkey
+               GROUP BY n_name)
+    SELECT s.s_suppkey, q.n_name, round(s.s_acctbal, 2) AS acctbal,
+           round(q.q1 - 1.5 * (q.q3 - q.q1), 6) AS lo_fence,
+           round(q.q3 + 1.5 * (q.q3 - q.q1), 6) AS hi_fence
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN q ON q.n_name = n.n_name
+    WHERE s.s_acctbal < q.q1 - 1.5 * (q.q3 - q.q1)
+       OR s.s_acctbal > q.q3 + 1.5 * (q.q3 - q.q1)
+    """,
+)
+def stats_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boxplot-rule outliers: supplier balances outside the 1.5x IQR
+    fences of their nation's distribution — the robust (quantile-
+    based) alternative to the z-score gate in llm_quality_outliers.
+    Per-nation quantiles reduce to |nations| rows and broadcast back
+    onto the fact."""
+    prep(spark)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    j = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    q = j.groupBy("n_name").agg(
+        F.expr("percentile(s_acctbal, 0.25)").alias("q1"),
+        F.expr("percentile(s_acctbal, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return (
+        j.join(F.broadcast(q), "n_name")
+        .filter((F.col("s_acctbal") < lo) | (F.col("s_acctbal") > hi))
+        .select(
+            "s_suppkey",
+            "n_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round(lo, 6).alias("lo_fence"),
+            F.round(hi, 6).alias("hi_fence"),
+        )
+    )
