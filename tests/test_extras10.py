@@ -480,6 +480,26 @@ def test_corr_matrix_symmetric_bounds(spark):
     assert abs(got - want) < 1e-5
 
 
+def test_iqr_outliers_outside_fences(spark):
+    out = ent.queries()["stats_iqr_outliers"](spark, SF_SMALL).toPandas()
+    assert (
+        (out.acctbal < out.lo_fence + 0.01) | (out.acctbal > out.hi_fence - 0.01)
+    ).all()
+    # fences come from each supplier's own nation distribution
+    sup = (
+        table(spark, SF_SMALL, "supplier")
+        .join(table(spark, SF_SMALL, "nation"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "s_acctbal")
+        .toPandas()
+    )
+    for _, r in out.iterrows():
+        g = sup[sup.n_name == r.n_name].s_acctbal
+        q1, q3 = g.quantile(0.25), g.quantile(0.75)
+        assert abs(r.lo_fence - (q1 - 1.5 * (q3 - q1))) < 1e-4
+        assert abs(r.hi_fence - (q3 + 1.5 * (q3 - q1))) < 1e-4
+
+
 def test_seasonality_conserves_events(spark):
     out = ent.queries()["events_seasonality"](spark, SF_SMALL).toPandas()
     total = table(spark, SF_SMALL, "events").count()
