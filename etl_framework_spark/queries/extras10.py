@@ -1817,3 +1817,68 @@ def stats_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(hi, 6).alias("hi_fence"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Repeat-purchase behavior — inter-order intervals per returning customer
+# --------------------------------------------------------------------------
+@query(
+    "orders_repeat_rate",
+    oracle="""
+    WITH per_cust AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                      FROM orders GROUP BY o_custkey),
+    gaps AS (SELECT o_custkey,
+                    CAST(datediff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS INT) AS gap_days
+             FROM orders),
+    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL)
+    SELECT CAST((SELECT count(*) FROM per_cust) AS BIGINT) AS n_customers,
+           CAST((SELECT count(*) FROM per_cust WHERE n_orders >= 2) AS BIGINT)
+             AS n_repeat,
+           round((SELECT count(*) FROM per_cust WHERE n_orders >= 2)
+                 / CAST((SELECT count(*) FROM per_cust) AS DOUBLE), 6)
+             AS repeat_rate,
+           round((SELECT avg(CAST(gap_days AS DOUBLE)) FROM g), 6) AS avg_gap_days,
+           round((SELECT quantile_cont(CAST(gap_days AS DOUBLE), 0.5) FROM g), 6)
+             AS p50_gap_days
+    """,
+)
+def orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase profile: share of customers who order again,
+    and the distribution of days between consecutive orders — the
+    loyalty metric behind LTV curves. One per-customer lag window
+    (state bounded by one customer's history) plus scalar rollups."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("int")
+        .alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    stats = per_cust.agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).alias("n_repeat"),
+    )
+    gd = F.col("gap_days").cast("double")
+    gstats = gaps.agg(
+        F.round(F.avg(gd), 6).alias("avg_gap_days"),
+        F.round(F.expr("percentile(CAST(gap_days AS DOUBLE), 0.5)"), 6).alias(
+            "p50_gap_days"
+        ),
+    )
+    return stats.crossJoin(F.broadcast(gstats)).select(
+        "n_customers",
+        "n_repeat",
+        F.round(F.col("n_repeat") / F.col("n_customers").cast("double"), 6).alias(
+            "repeat_rate"
+        ),
+        "avg_gap_days",
+        "p50_gap_days",
+    )
