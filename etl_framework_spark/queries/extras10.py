@@ -1882,3 +1882,56 @@ def orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_gap_days",
         "p50_gap_days",
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding drift — per-label centroid shift between corpus halves
+# --------------------------------------------------------------------------
+@query(
+    "llm_embedding_drift",
+    oracle="""
+    WITH ex AS (SELECT label, vec_id % 2 AS half,
+                       unnest(generate_series(1, len(embedding))) - 1 AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings),
+    cents AS (SELECT label, half, dim, round(avg(val), 6) AS c
+              FROM ex GROUP BY label, half, dim),
+    w AS (SELECT a.label, a.dim, a.c AS c0, b.c AS c1
+          FROM cents a JOIN cents b
+            ON a.label = b.label AND a.dim = b.dim
+           AND a.half = 0 AND b.half = 1)
+    SELECT label,
+           round(sqrt(sum((c1 - c0) * (c1 - c0))), 6) AS centroid_shift,
+           CAST(count(*) AS INT) AS dim
+    FROM w GROUP BY label
+    """,
+)
+def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per-label centroid L2 shift between
+    two corpus halves (vec_id parity stands in for before/after
+    snapshots) — the alarm that an embedding model or upstream corpus
+    changed. Centroids quantize to 6dp BEFORE the distance (the
+    iterative-float portability rule), so the shift is engine-exact;
+    state is |labels|x|dims| regardless of corpus size."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    cents = ex.groupBy("label", "half", "dim").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("c")
+    )
+    a = cents.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("c0")
+    )
+    b = cents.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("c1")
+    )
+    w = a.join(b, ["label", "dim"])
+    d = F.col("c1") - F.col("c0")
+    return w.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(d * d)), 6).alias("centroid_shift"),
+        F.count("*").cast("int").alias("dim"),
+    )
