@@ -1935,3 +1935,55 @@ def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.sum(d * d)), 6).alias("centroid_shift"),
         F.count("*").cast("int").alias("dim"),
     )
+
+
+# --------------------------------------------------------------------------
+# MAD anomaly detection — robust daily-count outliers per event type
+# --------------------------------------------------------------------------
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+                          CAST(count(*) AS DOUBLE) AS n
+                   FROM events GROUP BY 1, 2),
+    med AS (SELECT event_type, quantile_cont(n, 0.5) AS m
+            FROM daily GROUP BY event_type),
+    mad AS (SELECT daily.event_type,
+                   quantile_cont(abs(n - m), 0.5) AS mad
+            FROM daily JOIN med USING (event_type)
+            GROUP BY daily.event_type)
+    SELECT daily.event_type, d, CAST(n AS BIGINT) AS n,
+           round(m, 6) AS med, round(mad.mad, 6) AS mad,
+           round(abs(n - m) / (1.4826 * mad.mad), 6) AS robust_z
+    FROM daily JOIN med USING (event_type) JOIN mad USING (event_type)
+    WHERE abs(n - m) / (1.4826 * mad.mad) > 2.5
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: daily counts scored by the
+    median-absolute-deviation z-score (1.4826·MAD ≈ σ under
+    normality) — unlike the mean/std z-score (events_anomaly), a
+    single huge spike can't inflate its own detection threshold.
+    Per-type medians reduce to |types| rows and broadcast back."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count("*").cast("double").alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("m")
+    )
+    j1 = daily.join(F.broadcast(med), "event_type")
+    mad = j1.groupBy("event_type").agg(
+        F.expr("percentile(abs(n - m), 0.5)").alias("mad")
+    )
+    j2 = j1.join(F.broadcast(mad), "event_type")
+    rz = F.abs(F.col("n") - F.col("m")) / (1.4826 * F.col("mad"))
+    return j2.filter(rz > 2.5).select(
+        "event_type",
+        "d",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("m", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.round(rz, 6).alias("robust_z"),
+    )
