@@ -1987,3 +1987,52 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 6).alias("mad"),
         F.round(rz, 6).alias("robust_z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Market concentration — HHI of supplier revenue share per nation
+# --------------------------------------------------------------------------
+@query(
+    "supplier_hhi",
+    oracle="""
+    WITH rev AS (SELECT n_name, s_suppkey,
+                        sum(l_extendedprice * (1 - l_discount)) AS r
+                 FROM lineitem
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation ON s_nationkey = n_nationkey
+                 GROUP BY n_name, s_suppkey),
+    tot AS (SELECT n_name, sum(r) AS t, CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM rev GROUP BY n_name)
+    SELECT rev.n_name, n_suppliers,
+           round(sum((r / t) * (r / t)) * 10000, 4) AS hhi,
+           round(10000.0 / n_suppliers, 4) AS hhi_uniform
+    FROM rev JOIN tot USING (n_name)
+    GROUP BY rev.n_name, n_suppliers
+    """,
+)
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation-market (0-10000 scale; 10000/n is the uniform floor)
+    — the market-concentration screen beside Gini and Pareto. One
+    revenue rollup per (nation, supplier), then |markets|-sized
+    share math."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(table(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(table(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    tot = rev.groupBy("n_name").agg(
+        F.sum("r").alias("t"), F.count("*").alias("n_suppliers")
+    )
+    share = F.col("r") / F.col("t")
+    return (
+        rev.join(F.broadcast(tot), "n_name")
+        .groupBy("n_name", "n_suppliers")
+        .agg(
+            F.round(F.sum(share * share) * 10000, 4).alias("hhi"),
+            F.round(10000.0 / F.max("n_suppliers"), 4).alias("hhi_uniform"),
+        )
+    )
