@@ -38,6 +38,7 @@ for _m in [
     "bpe_q",
     "extras9",
     "extras10",
+    "extras11",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
