@@ -39,6 +39,7 @@ for _m in [
     "extras9",
     "extras10",
     "extras11",
+    "extras12",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
