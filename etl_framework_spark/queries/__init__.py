@@ -40,6 +40,7 @@ for _m in [
     "extras10",
     "extras11",
     "extras12",
+    "extras13",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
