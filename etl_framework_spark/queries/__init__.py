@@ -41,6 +41,7 @@ for _m in [
     "extras11",
     "extras12",
     "extras13",
+    "extras14",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
