@@ -240,3 +240,46 @@ def test_shuffle_hash_hint_honored(spark):
         "l_orderkey", "o_totalprice"
     )
     assert_in_plan(j, "ShuffledHashJoin", absent=("SortMergeJoin",))
+
+
+def test_feat_scale_broadcasts_moments(spark):
+    """Batch 9: the |brands|-row moment table must broadcast back onto
+    the part facts — a shuffle join here would re-shuffle the fact
+    side for a 25-row dimension."""
+    assert_in_plan(_q(spark, "feat_scale"), "BroadcastHashJoin")
+
+
+def test_dedup_incremental_no_cartesian(spark):
+    """Batch 7: delta-vs-corpus dedup must stay an equi-join on the
+    content hash (no nested-loop / cartesian fallback)."""
+    assert_in_plan(
+        _q(spark, "llm_dedup_incremental"),
+        "Join",
+        absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+
+
+def test_diag_skew_partial_aggregates(spark):
+    """Ops: the per-key count must partially aggregate map-side (the
+    diagnostic has to be immune to the very skew it measures) and the
+    top-10 must plan as TakeOrdered, not a global sort."""
+    plan = assert_in_plan(_q(spark, "diag_skew"), "TakeOrderedAndProject")
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_substr_dedup_prunes_text_after_hash(spark):
+    """Batch 6: the global window-frequency shuffle must carry only
+    the md5 hash column — window text must not survive into the
+    exchange that feeds the frequency aggregate."""
+    df = _q(spark, "llm_dedup_substr")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # The aggregate over gram hashes groups by the md5 output column,
+    # not by a raw token-array or text column.
+    assert "md5" in plan
+    exchange_lines = [
+        ln for ln in plan.splitlines() if "hashpartitioning(" in ln
+    ]
+    assert exchange_lines, "expected at least one hash exchange in the plan"
+    assert all("toks" not in ln for ln in exchange_lines)
