@@ -42,6 +42,7 @@ for _m in [
     "extras12",
     "extras13",
     "extras14",
+    "extras15",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
