@@ -43,6 +43,7 @@ for _m in [
     "extras13",
     "extras14",
     "extras15",
+    "extras16",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
