@@ -1,11 +1,11 @@
 """CLI entry point — run a config-file job, the reference family's
 operating model (`spark-submit`-able):
 
-    python -m etl_framework_spark job.yaml [job2.json ...] [--cpus N]
+    python -m etl_framework_spark job.yaml [job2.json ...] [--summary]
 
 Each job file is compiled and executed end-to-end (sources → steps →
-sinks, including observe()-based sink validation); a per-relation row
-count summary prints at the end.
+sinks, including observe()-based sink validation); with --summary a
+per-relation row count prints after each job (costs extra actions).
 """
 
 from __future__ import annotations

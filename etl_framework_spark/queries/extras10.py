@@ -1364,8 +1364,9 @@ def events_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_ab_test",
     oracle="""
-    WITH tagged AS (SELECT CAST(((user_id * 2654435761) % 2 + 2) % 2 AS INT)
-                             AS arm,
+    WITH tagged AS (SELECT CAST(CASE WHEN (user_id * 2654435761) % 4294967296
+                                          >= 2147483648 THEN 1 ELSE 0 END
+                                AS INT) AS arm,
                            value
                     FROM events),
     arms AS (SELECT arm,
@@ -1391,16 +1392,25 @@ def events_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experimentation primitive: traffic deterministically hash-split
-    into two arms (multiplicative hashing — reproducible, no RNG),
-    mean event value compared with the Welch large-sample z-test. On
-    this synthetic traffic the arms MUST NOT differ significantly —
-    the A/A sanity check every experimentation platform runs before
-    trusting its assignment; the same plan with a real treatment flag
-    is the A/B readout. One partial-agg shuffle to 2 rows."""
+    into two arms — the HIGH bit of the Knuth multiplicative hash
+    ((user_id * K) mod 2^32 >= 2^31, same constants as train_split),
+    not the low bit, which for an odd multiplier would just be user_id
+    parity and correlate with anything else keyed on parity — mean
+    event value compared with the Welch large-sample z-test. On this
+    synthetic traffic the arms MUST NOT differ significantly — the A/A
+    sanity check every experimentation platform runs before trusting
+    its assignment; the same plan with a real treatment flag is the
+    A/B readout. One partial-agg shuffle to 2 rows."""
     prep(spark)
     ev = table(spark, sf_dir, "events")
     tagged = ev.select(
-        F.pmod(F.col("user_id") * 2654435761, F.lit(2)).cast("int").alias("arm"),
+        F.when(
+            F.pmod(F.col("user_id") * 2654435761, F.lit(4294967296)) >= 2147483648,
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("arm"),
         "value",
     )
     arms = tagged.groupBy("arm").agg(

@@ -31,6 +31,11 @@ QUERY_MOD = 10  # vec_id % QUERY_MOD == 0 rows act as the query set
 # high enough to be selective, low enough to return a real pair set.
 NEARDUP_TAU = 0.3
 
+# Driver-side cap on the collected query set for the EXACT broadcast
+# top-k path (1M × 64-dim float64 ≈ 0.5 GB — comfortably inside a
+# normal driver). Larger query sets must shard or go approximate.
+_MAX_Q_COLLECT = 1_000_000
+
 _COS_QE = duck_cosine("q.qe", "e.embedding")
 _COS_AB = duck_cosine("a.embedding", "b.embedding")
 
@@ -71,13 +76,32 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs 64 of them per batch instead of 64 per pair). Each batch
     emits only its local top-k per query; a global window merges the
     k·partitions survivors. Replaced the per-pair JVM fold (3.4s →
-    ~0.6s at sf0.1, same bits)."""
+    ~0.6s at sf0.1, same bits).
+
+    Driver-memory bound: the query SET (not the corpus) is collect()ed
+    to the driver and broadcast, so this exact path holds only while
+    |queries|·dim·8B fits driver memory — _MAX_Q_COLLECT guards that
+    and fails loudly past it. At 100 TB the corpus side still streams
+    (never collected); for query sets beyond the cap, shard the query
+    set and run one corpus pass per shard, or switch to the bucketed
+    approximate paths (llm_sim_ann / llm_sim_ivf) which never
+    centralize the queries."""
     prep(spark)
     import numpy as np
     import pandas as pd
 
     emb = table(spark, sf_dir, "embeddings")
-    q_rows = emb.filter(F.col("vec_id") % QUERY_MOD == 0).collect()
+    q_rows = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .limit(_MAX_Q_COLLECT + 1)
+        .collect()
+    )
+    if len(q_rows) > _MAX_Q_COLLECT:
+        raise ValueError(
+            f"llm_sim_topk exact path: query set exceeds _MAX_Q_COLLECT="
+            f"{_MAX_Q_COLLECT} rows; shard the query set (one corpus pass "
+            "per shard) or use llm_sim_ann/llm_sim_ivf."
+        )
     qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
     nq, dim = Q.shape

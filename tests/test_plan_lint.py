@@ -67,3 +67,31 @@ def test_lint_fires_on_unpruned_wide_scan(spark):
     df = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
     finds = lint_plan("not_allowlisted", explain_str(df))
     assert any("R3" in f for f in finds)
+
+
+def test_r3_anchors_to_the_lineitem_scan_node():
+    """A wide scan of ANOTHER table must not be misattributed to
+    lineitem just because lineitem appears elsewhere in the plan."""
+    wide = ",".join(f"c{i}:bigint" for i in range(12))
+    other_wide_lineitem_narrow = f"""(1) Scan parquet
+Location: InMemoryFileIndex [file:/x/orders.parquet]
+ReadSchema: struct<{wide}>
+
+(2) Scan parquet
+Location: InMemoryFileIndex [file:/x/lineitem.parquet]
+ReadSchema: struct<a:bigint,b:bigint>
+"""
+    assert lint_plan("somekey", other_wide_lineitem_narrow) == []
+    lineitem_wide = f"""(1) Scan parquet
+Location: InMemoryFileIndex [file:/x/lineitem.parquet]
+ReadSchema: struct<{wide}>
+"""
+    assert any("R3" in f for f in lint_plan("somekey", lineitem_wide))
+
+
+def test_r5_exempts_cross_type_bnlj_both_build_sides():
+    for side in ("BuildLeft", "BuildRight"):
+        cross = f"(3) BroadcastNestedLoopJoin {side}, Cross\n"
+        assert lint_plan("somekey", cross) == []
+        inner = f"(3) BroadcastNestedLoopJoin {side}, Inner, (a < b)\n"
+        assert any("R5" in f for f in lint_plan("somekey", inner))

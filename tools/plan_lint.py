@@ -75,9 +75,18 @@ def lint_plan(key: str, plan: str) -> list[str]:
     # only suspicious when the query's output is narrow; approximate by
     # flagging full 11-col lineitem reads (schema floor: struct<...11 fields)
     if key not in ("scan_parquet", "limit_rows", "sample_seed"):  # SELECT * keys
-        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        # Anchor to the scan node that reads lineitem: the path and the
+        # ReadSchema must sit in the SAME "(n) Scan parquet" block, else a
+        # wide scan of another table in a lineitem-touching query gets
+        # misattributed to lineitem.
+        for m in re.finditer(
+            r"Scan parquet[^\n]*\n(?:(?!\(\d+\) )[^\n]*\n)*?"
+            r"[^\n]*lineitem\.parquet[^\n]*\n"
+            r"(?:(?!\(\d+\) )[^\n]*\n)*?[^\n]*ReadSchema: struct<([^>]*)>",
+            plan,
+        ):
             ncols = len([c for c in m.group(1).split(",") if ":" in c])
-            if ncols >= 11 and "lineitem" in plan:
+            if ncols >= 11:
                 finds.append(f"R3 scan_no_prune: {ncols}-column lineitem read")
                 break
 
@@ -101,7 +110,7 @@ def lint_plan(key: str, plan: str) -> list[str]:
     # over an Identity broadcast is the scalar/grid-broadcast idiom and
     # is covered by R1 when the broadcast side isn't bounded.
     conditioned_bnlj = re.search(
-        r"BroadcastNestedLoopJoin BuildLeft|"
+        r"BroadcastNestedLoopJoin BuildLeft, (?!Cross)|"
         r"BroadcastNestedLoopJoin BuildRight, (?!Cross)", plan
     )
     if conditioned_bnlj and key not in (
