@@ -44,6 +44,7 @@ for _m in [
     "extras14",
     "extras15",
     "extras16",
+    "extras17",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
