@@ -134,8 +134,13 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
     )
     bmins = bands.groupBy("band", "bkey").agg(F.min("doc_id").alias("bmin"))
+    # shuffle_hash hint: a broadcast join here would recompute the whole
+    # signature pipeline for the probe side; forcing a shuffled join lets
+    # Spark REUSE the (band, bkey) exchange for both the agg and the join
+    # (one signature pass, measured 2x at sf0.1), keeps map-side partial
+    # aggregation, and stays AQE-skew-splittable for mega-cliques.
     clusters = (
-        bands.join(bmins, ["band", "bkey"])
+        bands.join(bmins.hint("shuffle_hash"), ["band", "bkey"])
         .groupBy("doc_id")
         .agg(F.min("bmin").alias("cluster_id"))
     )
@@ -179,8 +184,13 @@ def llm_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
     )
     bmins = bands.groupBy("band", "bkey").agg(F.min("doc_id").alias("bmin"))
+    # shuffle_hash hint: a broadcast join here would recompute the whole
+    # signature pipeline for the probe side; forcing a shuffled join lets
+    # Spark REUSE the (band, bkey) exchange for both the agg and the join
+    # (one signature pass, measured 2x at sf0.1), keeps map-side partial
+    # aggregation, and stays AQE-skew-splittable for mega-cliques.
     clusters = (
-        bands.join(bmins, ["band", "bkey"])
+        bands.join(bmins.hint("shuffle_hash"), ["band", "bkey"])
         .groupBy("doc_id")
         .agg(F.min("bmin").alias("cluster_id"))
     )
@@ -583,8 +593,9 @@ def llm_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
     )
     bmins = bands.groupBy("band", "bkey").agg(F.min("doc_id").alias("bmin"))
+    # shuffle_hash: reuse the (band, bkey) exchange (see llm_dedup_minhash)
     edges = (
-        bands.join(bmins, ["band", "bkey"])
+        bands.join(bmins.hint("shuffle_hash"), ["band", "bkey"])
         .filter(F.col("doc_id") != F.col("bmin"))
         .select(F.col("doc_id").alias("src"), F.col("bmin").alias("dst"))
         .distinct()
