@@ -45,6 +45,7 @@ for _m in [
     "extras15",
     "extras16",
     "extras17",
+    "extras18",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the

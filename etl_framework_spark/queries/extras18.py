@@ -1,0 +1,501 @@
+"""Round-3 batch 2: dedup-threshold tuning, curriculum ordering,
+embedding quantization, matryoshka-truncation evaluation, formatted
+output, and n-gram coverage.
+
+Scale notes:
+
+- ``llm_dedup_threshold_sweep``: one pass over the (lang, source)-
+  blocked exact-Jaccard pair set (already bounded by blocking — the
+  same pair set llm_dedup_jaccard verifies), exploded over the
+  threshold grid; output is |grid| rows at any scale. The production
+  knob-tuning report: pick τ by looking at keep-rate elasticity, not
+  by folklore.
+- ``vec_quantize_int8``: per-vector int8 quantization is pure row
+  arithmetic (no shuffle); the per-label error report folds each
+  label's rows in vec_id order (strict fold ↔ DuckDB list_reduce) —
+  no unordered float sums.
+- ``vec_matryoshka``: truncated-prefix (16 of 64 dims) ranking vs
+  the full ranking over the blocked query×corpus pair set; cosines
+  are strict folds quantized to 6 dp before ranking with a vec_id
+  tiebreak, so ranks are engine-stable; the final report reduces to
+  one row of integer-derived statistics.
+- ``fn_format``: formatted-output family (format_string ↔ printf) —
+  per-row JVM string kernels, no shuffle; float operands are halves
+  (x/2.0) so no rounding-tie divergence between Java Formatter and
+  fmtlib.
+- ``llm_ngram_coverage``: train/test n-gram type coverage for
+  n=1,2,3 — distinct-shingle reductions + one equi-join per n;
+  everything after the distinct is |types| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_framework_spark.catalog import table
+from etl_framework_spark.operators.similarity import duck_cosine
+from etl_framework_spark.operators.textops import tokens
+from etl_framework_spark.registry import query
+from etl_framework_spark.session import prep
+
+# Knuth multiplicative-hash split constants (as training.train_split).
+_K = 2654435761
+_MOD = 4294967296
+_TRAIN_LT = 3865470566
+
+# Threshold grid for the dedup sweep: 0.05 .. 0.95 step 0.05.
+_SWEEP_STEPS = 19
+
+_MATRYOSHKA_DIMS = 16
+_MK = 10  # top-k compared between truncated and full rankings
+_QUERY_MOD = 10  # vec_id % _QUERY_MOD == 0 rows act as queries
+
+
+def _q6(c):
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+# --------------------------------------------------------------------------
+# Dedup tuning — keep-rate vs Jaccard threshold sweep
+# --------------------------------------------------------------------------
+@query(
+    "llm_dedup_threshold_sweep",
+    oracle=f"""
+    WITH toksets AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS ts
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+               / (len(a.ts) + len(b.ts)
+                  - len(list_intersect(a.ts, b.ts))) AS jac
+      FROM toksets a
+      JOIN toksets b ON a.lang = b.lang AND a.source = b.source
+                    AND a.doc_id < b.doc_id
+    ),
+    grid AS (SELECT unnest(generate_series(1, {_SWEEP_STEPS})) / 20.0 AS tau),
+    hits AS (
+      SELECT g.tau, p.id_b
+      FROM grid g JOIN pairs p ON p.jac >= g.tau
+    ),
+    agg AS (
+      SELECT tau,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT id_b) AS BIGINT) AS n_dropped
+      FROM hits GROUP BY tau
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT round(g.tau, 2) AS tau,
+           coalesce(a.n_pairs, 0) AS n_pairs,
+           coalesce(a.n_dropped, 0) AS n_dropped,
+           round(1.0 - coalesce(a.n_dropped, 0) / tot.n_docs, 6) AS keep_rate
+    FROM grid g LEFT JOIN agg a ON a.tau = g.tau CROSS JOIN tot
+    """,
+)
+def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning report: for each Jaccard τ on a
+    0.05-step grid, how many blocked candidate pairs clear it and what
+    corpus keep-rate results (drop policy: the higher doc_id of each
+    clearing pair). One pass over the SAME blocked pair set that
+    llm_dedup_jaccard verifies (blocking bounds the quadratic), one
+    grid join, |grid| output rows — the elasticity curve that picks τ
+    empirically instead of by folklore."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    toksets = docs.select(
+        "doc_id", "lang", "source", F.array_distinct(tokens("text")).alias("ts")
+    )
+    a, b = toksets.alias("a"), toksets.alias("b")
+    inter = F.size(F.array_intersect("a.ts", "b.ts")).cast("double")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("b.doc_id").alias("id_b"),
+            (
+                inter
+                / (F.size("a.ts") + F.size("b.ts") - inter)
+            ).alias("jac"),
+        )
+    )
+    grid = spark.range(1, _SWEEP_STEPS + 1).select(
+        (F.col("id") / 20.0).alias("tau")
+    )
+    hits = grid.join(pairs, pairs.jac >= grid.tau)
+    agg = hits.groupBy("tau").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.countDistinct("id_b").cast("bigint").alias("n_dropped"),
+    )
+    tot = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    return (
+        grid.join(agg, "tau", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round("tau", 2).alias("tau"),
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            F.round(
+                1.0 - F.coalesce("n_dropped", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("keep_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Embeddings — int8 quantization error report
+# --------------------------------------------------------------------------
+@query(
+    "vec_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, label, xd,
+             list_max(list_transform(xd, x -> abs(x))) AS scale
+      FROM v
+    ),
+    errs AS (
+      SELECT vec_id, label, scale,
+             list_transform(xd,
+               x -> x - trunc(x * 127.0 / scale + sign(x) * 0.5)
+                        * scale / 127.0) AS err
+      FROM scaled
+    ),
+    per AS (
+      SELECT vec_id, label,
+             floor(sqrt(list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                                  list_transform(err, e -> e * e)),
+                     (a, e) -> a + e) / len(err)) * 1000000 + 0.5) / 1000000
+               AS rmse,
+             floor(list_max(list_transform(err, e -> abs(e)))
+                   * 1000000 + 0.5) / 1000000 AS max_err
+      FROM errs
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           floor(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(rmse ORDER BY vec_id)),
+                   (a, e) -> a + e) / count(*) * 1000000 + 0.5) / 1000000
+             AS mean_rmse,
+           max(max_err) AS worst_abs_err
+    FROM per GROUP BY label
+    """,
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (per-vector absmax scaling, round
+    half-away-from-zero) with the reconstruction-error report per
+    label: mean RMSE and worst absolute error. Quantization and error
+    are pure per-row array arithmetic (no shuffle — the compression
+    pass a 100 TB vector store runs mapper-side before writing); the
+    per-label mean folds rmse values in vec_id order, so every float
+    sum is a strict fold with a DuckDB list_reduce twin."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scaled = emb.select(
+        "vec_id",
+        "label",
+        xd.alias("xd"),
+        F.array_max(F.transform(xd, F.abs)).alias("scale"),
+    )
+    # trunc(x·127/scale + sign(x)·0.5): Spark has no double-trunc twin of
+    # DuckDB's trunc(); cast-to-long truncates toward zero (exact here,
+    # |q| <= 127.5), matching trunc() for both signs.
+    err = F.transform(
+        F.col("xd"),
+        lambda x: x
+        - (x * 127.0 / F.col("scale") + F.signum(x) * 0.5).cast("long")
+        .cast("double")
+        * F.col("scale")
+        / 127.0,
+    )
+    errs = scaled.select("vec_id", "label", "scale", err.alias("err"))
+    rmse = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("err"), lambda e: e * e),
+            F.lit(0.0),
+            lambda a, e: a + e,
+        )
+        / F.size("err")
+    )
+    per = errs.select(
+        "vec_id",
+        "label",
+        _q6(rmse).alias("rmse"),
+        _q6(F.array_max(F.transform(F.col("err"), F.abs))).alias("max_err"),
+    )
+    folded = per.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.array_sort(F.collect_list(F.struct("vec_id", "rmse"))).alias("sv"),
+        F.max("max_err").alias("worst_abs_err"),
+    )
+    mean_rmse = (
+        F.aggregate(F.col("sv.rmse"), F.lit(0.0), lambda a, e: a + e)
+        / F.col("n_vecs")
+    )
+    return folded.select(
+        "label", "n_vecs", _q6(mean_rmse).alias("mean_rmse"), "worst_abs_err"
+    )
+
+
+# --------------------------------------------------------------------------
+# Embeddings — matryoshka truncation: prefix-dim ranking vs full ranking
+# --------------------------------------------------------------------------
+def _matryoshka_oracle() -> str:
+    cos_full = duck_cosine("q.qe", "e.embedding")
+    cos_trunc = duck_cosine("q.qt", "e.et")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             embedding[1:{_MATRYOSHKA_DIMS}] AS et
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, et AS qt FROM base
+          WHERE vec_id % {_QUERY_MOD} = 0),
+    pairs AS (
+      SELECT q.qid, e.vec_id AS vid,
+             floor(({cos_full}) * 1000000 + 0.5) / 1000000 AS cf,
+             floor(({cos_trunc}) * 1000000 + 0.5) / 1000000 AS ct
+      FROM q JOIN base e ON e.vec_id <> q.qid
+    ),
+    topf AS (
+      SELECT qid, vid FROM pairs
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cf DESC, vid)
+              <= {_MK}
+    ),
+    topt AS (
+      SELECT qid, vid FROM pairs
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY ct DESC, vid)
+              <= {_MK}
+    ),
+    ov AS (
+      SELECT f.qid, count(t.vid) AS n_overlap
+      FROM topf f LEFT JOIN topt t ON t.qid = f.qid AND t.vid = f.vid
+      GROUP BY f.qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(n_overlap), 6) AS mean_overlap,
+           CAST(min(n_overlap) AS BIGINT) AS min_overlap,
+           CAST(max(n_overlap) AS BIGINT) AS max_overlap,
+           round(sum(n_overlap) * 1.0 / (count(*) * {_MK}), 6)
+             AS recall_at_{_MK}
+    FROM ov
+    """
+
+
+@query("vec_matryoshka", oracle=_matryoshka_oracle())
+def vec_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation evaluation: how much of the full-64-dim
+    top-{_MK} cosine ranking survives when vectors are truncated to
+    their first {_MATRYOSHKA_DIMS} dims — the measurement behind
+    serving truncated embeddings (MRL). Both cosines are strict
+    float64 folds quantized to 6 dp and ranked with a vec_id
+    tiebreak (engine-stable ranks); the final report is one row of
+    integer-derived recall/overlap statistics. At 100 TB the pair
+    scan blocks by LSH/IVF exactly like llm_sim_topk's scale path —
+    the truncated ranking costs {_MATRYOSHKA_DIMS}/64 of the flops,
+    which is the point of the technique."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.slice("embedding", 1, _MATRYOSHKA_DIMS).alias("et"),
+    )
+    q = base.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("et").alias("qt"),
+    )
+    from etl_framework_spark.operators.similarity import cosine
+
+    pairs = (
+        q.join(base, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("vid"),
+            _q6(cosine(F.col("qe"), F.col("embedding"))).alias("cf"),
+            _q6(cosine(F.col("qt"), F.col("et"))).alias("ct"),
+        )
+    )
+    wf = W.partitionBy("qid").orderBy(F.col("cf").desc(), "vid")
+    wt = W.partitionBy("qid").orderBy(F.col("ct").desc(), "vid")
+    ranked = pairs.select(
+        "qid",
+        "vid",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    topf = ranked.filter(F.col("rf") <= _MK).select("qid", "vid")
+    topt = ranked.filter(F.col("rt") <= _MK).select(
+        F.col("qid").alias("qid2"), F.col("vid").alias("vid2")
+    )
+    ov = (
+        topf.join(
+            topt,
+            (F.col("qid") == F.col("qid2")) & (F.col("vid") == F.col("vid2")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("vid2").alias("n_overlap"))
+    )
+    return ov.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(F.avg("n_overlap"), 6).alias("mean_overlap"),
+        F.min("n_overlap").cast("bigint").alias("min_overlap"),
+        F.max("n_overlap").cast("bigint").alias("max_overlap"),
+        F.round(
+            F.sum("n_overlap") / (F.count("*") * F.lit(_MK)).cast("double"), 6
+        ).alias(f"recall_at_{_MK}"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Formatted output — format_string ↔ printf family
+# --------------------------------------------------------------------------
+@query(
+    "fn_format",
+    oracle="""
+    SELECT p_partkey,
+           printf('%08d', p_partkey) AS fmt_zero,
+           printf('%,d', p_partkey * 1009) AS fmt_comma,
+           printf('%x', p_partkey) AS fmt_hex,
+           printf('%+d', p_size - 25) AS fmt_sign,
+           printf('[%-12s]', p_type) AS fmt_left,
+           printf('%14s|', p_brand) AS fmt_right,
+           printf('%.2f', p_size / 2.0) AS fmt_fixed,
+           printf('%s-%03d-%x', p_brand, p_size, p_partkey) AS fmt_multi
+    FROM part
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formatted-output function family: zero-pad, thousands grouping,
+    hex, explicit sign, left/right alignment, fixed-point, and
+    multi-argument templates — format_string (java.util.Formatter)
+    against DuckDB printf (fmtlib), which agree on this conversion
+    subset. Float operands are exact halves (p_size/2.0), so no
+    rounding-tie divergence. Pure per-row JVM kernels; no shuffle."""
+    prep(spark)
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string("%08d", "p_partkey").alias("fmt_zero"),
+        F.format_string("%,d", F.col("p_partkey") * 1009).alias("fmt_comma"),
+        F.format_string("%x", "p_partkey").alias("fmt_hex"),
+        F.format_string("%+d", F.col("p_size") - 25).alias("fmt_sign"),
+        F.format_string("[%-12s]", "p_type").alias("fmt_left"),
+        F.format_string("%14s|", "p_brand").alias("fmt_right"),
+        F.format_string("%.2f", F.col("p_size") / 2.0).alias("fmt_fixed"),
+        F.format_string(
+            "%s-%03d-%x", "p_brand", "p_size", "p_partkey"
+        ).alias("fmt_multi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LM — train/test n-gram type coverage (n = 1, 2, 3)
+# --------------------------------------------------------------------------
+def _cov_cte(n: int, side: str) -> str:
+    """DuckDB CTE body: distinct space-joined n-grams of one split."""
+    concat = " || ' ' || ".join(f"l[i + {j}]" for j in range(n))
+    return f"""
+      SELECT DISTINCT {concat} AS g
+      FROM (SELECT string_split(text, ' ') AS l FROM split
+            WHERE {'is_train' if side == 'train' else 'NOT is_train'})
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(l) - {n - 1}))
+                          AS i) _
+      WHERE len(l) >= {n}
+    """
+
+
+@query(
+    "llm_ngram_coverage",
+    oracle=f"""
+    WITH split AS (
+      SELECT text, (doc_id * {_K}) % {_MOD} < {_TRAIN_LT} AS is_train
+      FROM documents
+    ),
+    tr1 AS ({_cov_cte(1, "train")}), te1 AS ({_cov_cte(1, "test")}),
+    tr2 AS ({_cov_cte(2, "train")}), te2 AS ({_cov_cte(2, "test")}),
+    tr3 AS ({_cov_cte(3, "train")}), te3 AS ({_cov_cte(3, "test")}),
+    rep AS (
+      SELECT 1 AS n,
+             (SELECT count(*) FROM te1) AS test_types,
+             (SELECT count(*) FROM te1 JOIN tr1 USING (g)) AS covered
+      UNION ALL
+      SELECT 2,
+             (SELECT count(*) FROM te2),
+             (SELECT count(*) FROM te2 JOIN tr2 USING (g))
+      UNION ALL
+      SELECT 3,
+             (SELECT count(*) FROM te3),
+             (SELECT count(*) FROM te3 JOIN tr3 USING (g))
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(test_types AS BIGINT) AS test_types,
+           CAST(covered AS BIGINT) AS covered_types,
+           round(covered * 1.0 / test_types, 6) AS coverage
+    FROM rep
+    """,
+)
+def llm_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out n-gram TYPE coverage for n=1,2,3: what fraction of the
+    test split's distinct n-grams the train split has seen — the
+    generalization-gap companion to llm_eval_xent (low trigram
+    coverage predicts high held-out perplexity) and the n-gram-level
+    contamination readout when run in reverse. Each n is a distinct
+    reduction on both sides plus one equi-join of type tables; the
+    shuffles move fixed-width shingle hashes of bounded type counts,
+    never documents."""
+    prep(spark)
+    from etl_framework_spark.operators.textops import shingles
+
+    d = table(spark, sf_dir, "documents")
+    is_train = (F.col("doc_id") * _K) % _MOD < _TRAIN_LT
+    split = d.select(
+        F.split("text", " ").alias("l"), is_train.alias("is_train")
+    )
+    parts = []
+    for n in (1, 2, 3):
+        sh = split.filter(F.size("l") >= n).select(
+            "is_train",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - %d), i -> concat_ws(' ', %s))"
+                    % (n - 1, ", ".join(f"element_at(l, i + {j})" for j in range(n)))
+                )
+            ).alias("g"),
+        )
+        tr = sh.filter("is_train").select("g").distinct()
+        te = sh.filter(~F.col("is_train")).select("g").distinct()
+        cov = (
+            te.join(tr, "g", "left_semi").agg(F.count("*").alias("covered"))
+        )
+        tot = te.agg(F.count("*").alias("test_types"))
+        parts.append(
+            tot.crossJoin(cov).select(
+                F.lit(n).cast("bigint").alias("n"),
+                F.col("test_types").cast("bigint").alias("test_types"),
+                F.col("covered").cast("bigint").alias("covered_types"),
+                F.round(
+                    F.col("covered") / F.col("test_types").cast("double"), 6
+                ).alias("coverage"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
