@@ -46,6 +46,7 @@ for _m in [
     "extras16",
     "extras17",
     "extras18",
+    "extras19",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
