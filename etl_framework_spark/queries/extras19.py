@@ -465,3 +465,86 @@ def llm_semantic_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rz, 6).alias("robust_z"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Join optimization — explicit Bloom prefilter, result-invariant
+# --------------------------------------------------------------------------
+_BLOOM_M2, _BLOOM_K2 = 4096, 3
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_acctbal >= 9000
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join whose RESULT must equal the plain join
+    (the oracle is the unoptimized SQL — optimization invisibility,
+    same discipline as join_salted): a 4096-bit / k=3 Bloom filter
+    built from the selective customer side's keys prefilters the fact
+    scan before the real join. False positives survive the prefilter
+    but die in the join, so semantics are exact while the fact-side
+    shuffle shrinks to ~|matching|+FP rows — the explicit form of the
+    runtime-filter pushdown Spark applies to big joins at scale, here
+    as a first-class operator with deterministic md5 bit positions.
+    Revenue sums in DECIMAL(18,2): exact, order-independent money
+    math."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= 9000)
+
+    def positions(df, keycol):
+        return df.select(
+            F.col(keycol),
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"{i}:"),
+                                            F.col(keycol).cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % _BLOOM_M2
+                        )
+                        for i in range(_BLOOM_K2)
+                    ]
+                )
+            ).alias("bit"),
+        )
+
+    bits = positions(cust, "c_custkey").select("bit").distinct()
+    probe = positions(orders.select("o_custkey").distinct(), "o_custkey")
+    passed = (
+        probe.join(F.broadcast(bits), "bit")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("nb"))
+        .filter(F.col("nb") == _BLOOM_K2)
+        .select("o_custkey")
+    )
+    pref = orders.join(F.broadcast(passed), "o_custkey", "left_semi")
+    joined = pref.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        pref.o_custkey == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )

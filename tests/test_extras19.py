@@ -100,3 +100,27 @@ def test_semantic_outliers_are_extreme(spark):
     # outliers must be a small minority of the corpus
     n_vecs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
     assert len(rows) < 0.2 * n_vecs
+
+
+def test_bloom_prefilter_matches_plain_join(spark):
+    """Optimization invisibility: the bloom-prefiltered join must equal
+    the plain join exactly."""
+    from pyspark.sql import functions as F
+
+    rows = {r.c_mktsegment: r for r in _rows(spark, "join_bloom_prefilter")}
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").filter(
+        F.col("c_acctbal") >= 9000
+    )
+    plain = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        )
+        .collect()
+    )
+    assert {r.c_mktsegment: (r.n_orders, r.rev) for r in plain} == {
+        k: (v.n_orders, v.revenue) for k, v in rows.items()
+    }
