@@ -47,6 +47,7 @@ for _m in [
     "extras17",
     "extras18",
     "extras19",
+    "extras20",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
