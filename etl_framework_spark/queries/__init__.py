@@ -48,6 +48,7 @@ for _m in [
     "extras18",
     "extras19",
     "extras20",
+    "extras21",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
