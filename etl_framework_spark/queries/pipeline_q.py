@@ -92,3 +92,63 @@ def sink_roundtrip_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+_ROUNDTRIP_TEXT_ORACLE = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts
+    FROM documents GROUP BY lang
+"""
+
+_DOCS_DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+@query("sink_roundtrip_csv", oracle=_ROUNDTRIP_TEXT_ORACLE)
+def sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema-on-read source round-trip (S2/S6): write the
+    documents table as quoted CSV with a header, re-read it with an
+    explicit DDL schema (never inference — schema drift at 100 TB is
+    silent corruption), and aggregate per language including a text
+    integrity digest count — must match the oracle on the ORIGINAL
+    parquet exactly, proving quoting/escaping round-trips free text."""
+    prep(spark)
+    out = f"/root/repo/.scratch/sink_csv_{os.path.basename(sf_dir.rstrip('/'))}"
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(out)
+    back = (
+        spark.read.schema(_DOCS_DDL).option("header", True).csv(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("total_text_len"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("distinct_texts"),
+    )
+
+
+@query("sink_roundtrip_json", oracle=_ROUNDTRIP_TEXT_ORACLE)
+def sink_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source round-trip (S3/S6): same integrity
+    contract as the CSV round-trip through the JSON writer/reader
+    (explicit DDL schema on read; JSON escaping must round-trip free
+    text exactly)."""
+    prep(spark)
+    out = f"/root/repo/.scratch/sink_json_{os.path.basename(sf_dir.rstrip('/'))}"
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(_DOCS_DDL).json(out)
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("total_text_len"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("distinct_texts"),
+    )
