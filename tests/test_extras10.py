@@ -398,7 +398,9 @@ def test_ab_test_aa_sanity(spark):
     assert 0.3 < out.n0 / total < 0.7  # hash split roughly balanced
     assert not out.significant  # A/A must not alarm
     ev = table(spark, SF_SMALL, "events").select("user_id", "value").toPandas()
-    arm = (ev.user_id * 2654435761) % 2
+    # high bit of the Knuth multiplicative hash (mirrors the query; the
+    # low bit of an odd multiplier would just be user_id parity)
+    arm = (((ev.user_id * 2654435761) % 2**32) >= 2**31).astype(int)
     v0, v1 = ev.value[arm == 0], ev.value[arm == 1]
     z = (v1.mean() - v0.mean()) / np.sqrt(
         v0.var(ddof=1) / len(v0) + v1.var(ddof=1) / len(v1)
