@@ -49,6 +49,7 @@ for _m in [
     "extras19",
     "extras20",
     "extras21",
+    "extras22",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
