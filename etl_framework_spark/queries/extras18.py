@@ -124,26 +124,20 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is identical IEEE ops on both engines, so boundary
     pairs (jaccard is a small-integer ratio) bucket identically."""
     prep(spark)
+    from etl_framework_spark.operators.dedup import blocked_jaccard_pairs
+
     docs = table(spark, sf_dir, "documents")
     toksets = docs.select(
         "doc_id", "lang", "source", F.array_distinct(tokens("text")).alias("ts")
     )
-    a, b = toksets.alias("a"), toksets.alias("b")
-    inter = F.size(F.array_intersect("a.ts", "b.ts")).cast("double")
-    jac = inter / (F.size("a.ts") + F.size("b.ts") - inter)
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("b.doc_id").alias("id_b"),
-            F.least(F.floor(jac * 20.0), F.lit(_SWEEP_STEPS))
-            .cast("bigint")
-            .alias("bkt"),
-        )
+    # token-explode pair builder (operators/dedup.blocked_jaccard_pairs):
+    # zero-overlap pairs never materialize, which is exactly the bucket-0
+    # population the suffix sums (starting at i=1) never read.
+    pairs = blocked_jaccard_pairs(toksets).select(
+        "id_b",
+        F.least(F.floor(F.col("jac") * 20.0), F.lit(_SWEEP_STEPS))
+        .cast("bigint")
+        .alias("bkt"),
     )
     hp = pairs.groupBy("bkt").agg(F.count("*").cast("bigint").alias("cp"))
     hd = (
