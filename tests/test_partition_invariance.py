@@ -37,6 +37,7 @@ FLOAT_SENSITIVE = [
     "events_ab_test",
     "fn_geo",
     "llm_semantic_outliers",
+    "llm_dedup_embedding",
 ]
 
 
