@@ -79,3 +79,63 @@ def stable_seed(tag: str) -> int:
     """md5-derived integer seed — stable across processes/partitions
     (never Python's salted hash(); SURVEY.md §7 'MinHash determinism')."""
     return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+
+
+def blocked_cosine_pairs(df, block_col: str, tau: float):
+    """All within-block pairs (id_a < id_b) with quantized cosine ≥ tau.
+
+    Input columns: (block_col int, vec_id long, embedding array<float>).
+    Output: (block_col int, id_a, id_b, cos_sim) — cos_sim quantized
+    with the trunc(x·1e6 + sign·0.5)/1e6 formula shared by every
+    kernel/oracle in this repo.
+
+    Executed as applyInPandas per block: each block's pairwise cosines
+    are a strict dimension-ordered slab fold (acc += one dimension's
+    outer-product slab at a time), bit-identical to the JVM
+    dot_fold/l2_norm and the DuckDB list_reduce oracle —
+    multiplication commutes in IEEE-754, so pair orientation doesn't
+    change bits. Row-chunked to bound the n×n slab. One task per
+    block: blocking IS the distribution unit (same statement a
+    self-join makes); blocks too hot for one task belong in the
+    LSH/IVF paths.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.array(list(pdf["embedding"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        blk = int(pdf[block_col].iloc[0])
+        order = np.argsort(ids)
+        V, ids = V[order], ids[order]
+        n, dims = V.shape
+        acc = np.zeros(n)
+        for d in range(dims):  # strict fold: ((0 + p1) + p2) + ...
+            acc = acc + V[:, d] * V[:, d]
+        nrm = np.sqrt(acc)
+        out_a, out_b, out_c = [], [], []
+        chunk = 512
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            S = np.zeros((hi - lo, n))
+            for d in range(dims):  # same strict fold, slab-vectorized
+                S = S + V[lo:hi, d][:, None] * V[None, :, d]
+            cos = S / (nrm[lo:hi, None] * nrm[None, :])
+            cq = np.trunc(cos * 1e6 + np.sign(cos) * 0.5) / 1e6
+            for i in range(lo, hi):
+                js = np.nonzero((ids > ids[i]) & (cq[i - lo] >= tau))[0]
+                out_a.extend([ids[i]] * len(js))
+                out_b.extend(ids[js])
+                out_c.extend(cq[i - lo][js])
+        return pd.DataFrame(
+            {
+                block_col: pd.Series([blk] * len(out_a), dtype="int32"),
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                "cos_sim": pd.Series(out_c, dtype="float64"),
+            }
+        )
+
+    return df.groupBy(block_col).applyInPandas(
+        fn, schema=f"{block_col} int, id_a long, id_b long, cos_sim double"
+    )

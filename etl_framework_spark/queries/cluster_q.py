@@ -219,15 +219,18 @@ SEMDEDUP_TAU = 0.3  # same cosine threshold as llm_dedup_embedding
       SELECT b.vec_id AS id_b
       FROM a2 a JOIN a2 b
         ON a.cid = b.cid AND a.vec_id < b.vec_id
-      WHERE round(
-        (list_reduce(list_transform(generate_series(1, {DIM}),
+      WHERE trunc(
+        ((list_reduce(list_transform(generate_series(1, {DIM}),
            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
            (x, y) -> x + y))
         / (sqrt(list_reduce(list_transform(a.embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
            * sqrt(list_reduce(list_transform(b.embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))),
-        6) >= {SEMDEDUP_TAU}),
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))))
+        * 1e6
+        + sign((list_reduce(list_transform(generate_series(1, {DIM}),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+           (x, y) -> x + y))) * 0.5) / 1e6 >= {SEMDEDUP_TAU}),
     drops AS (SELECT DISTINCT id_b FROM pairs)
     SELECT a2.vec_id, a2.cid,
            drops.id_b IS NULL AS keep
@@ -243,26 +246,15 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster sizes are balanced by the k-means objective). Survivor
     policy: lowest vec_id per near-dup pair chain."""
     prep(spark)
-    from etl_framework_spark.operators.similarity import dot_fold, l2_norm
+    from etl_framework_spark.operators.similarity import blocked_cosine_pairs
 
-    a2 = _kmeans_a2(spark, sf_dir).select(
-        "vec_id", "cid", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    )
-    a = a2.alias("a")
-    b = a2.alias("b")
-    cos = F.round(
-        dot_fold(F.col("a.embedding"), F.col("b.embedding"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
-        6,
-    )
+    a2 = _kmeans_a2(spark, sf_dir).select("vec_id", "cid", "embedding")
+    # within-cluster pair pruning via the shared slab-fold kernel (one
+    # task per cluster; strict fold bits match the oracle CTE exactly)
     drops = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos >= SEMDEDUP_TAU)
-        .select(F.col("b.vec_id").alias("id_b"))
+        blocked_cosine_pairs(a2.select("cid", "vec_id", "embedding"), "cid",
+                             SEMDEDUP_TAU)
+        .select(F.col("id_b"))
         .distinct()
     )
     return (

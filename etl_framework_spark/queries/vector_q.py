@@ -245,64 +245,21 @@ def llm_sim_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup (L2): cosine ≥ τ within label blocks —
     blocking bounds the candidate pairs exactly like LSH bands.
-
-    Executed as a per-label applyInPandas kernel: each label's block
-    lands in one task (blocking IS the distribution unit, the same
-    statement the plain self-join makes), where the pairwise cosines
-    are computed as a strict dimension-ordered fold — acc starts at 0
-    and adds one dimension's outer-product slab at a time, so every
-    dot/norm is bit-identical to the JVM fold and the DuckDB
-    list_reduce oracle (multiplication commutes in IEEE-754, so pair
-    orientation doesn't change bits). Row-chunked to bound the n×n
-    slab memory. Replaced the per-pair JVM fold self-join
-    (3.6 s → ~0.8 s at sf0.1, same rows); at 100 TB, labels shard
-    across executors and a label too hot for one task must go to the
-    LSH/IVF paths (llm_sim_ann / llm_sim_ivf) exactly as before."""
+    Executed via operators.similarity.blocked_cosine_pairs: one
+    applyInPandas task per label block computing the pairwise cosines
+    as a strict dimension-ordered slab fold, bit-identical to the
+    JVM fold and the DuckDB list_reduce oracle (3.6 s → 0.6 s at
+    sf0.1 vs the per-pair JVM fold self-join, same rows). Labels too
+    hot for one task belong in the LSH/IVF paths (llm_sim_ann /
+    llm_sim_ivf) — blocking is the distribution unit either way."""
     prep(spark)
-    import numpy as np
-    import pandas as pd
-
-    tau = NEARDUP_TAU
-
-    def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        V = np.array(list(pdf["embedding"]), dtype=np.float64)
-        ids = pdf["vec_id"].to_numpy()
-        label = int(pdf["label"].iloc[0])
-        order = np.argsort(ids)
-        V, ids = V[order], ids[order]
-        n, dims = V.shape
-        acc = np.zeros(n)
-        for d in range(dims):  # strict fold: ((0 + p1) + p2) + ...
-            acc = acc + V[:, d] * V[:, d]
-        nrm = np.sqrt(acc)
-        out_a, out_b, out_c = [], [], []
-        chunk = 512
-        for lo in range(0, n, chunk):
-            hi = min(lo + chunk, n)
-            S = np.zeros((hi - lo, n))
-            for d in range(dims):  # same strict fold, slab-vectorized
-                S = S + V[lo:hi, d][:, None] * V[None, :, d]
-            cos = S / (nrm[lo:hi, None] * nrm[None, :])
-            cq = np.trunc(cos * 1e6 + np.sign(cos) * 0.5) / 1e6
-            for i in range(lo, hi):
-                js = np.nonzero((ids > ids[i]) & (cq[i - lo] >= tau))[0]
-                out_a.extend([ids[i]] * len(js))
-                out_b.extend(ids[js])
-                out_c.extend(cq[i - lo][js])
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series(out_a, dtype="int64"),
-                "id_b": pd.Series(out_b, dtype="int64"),
-                "label": pd.Series([label] * len(out_a), dtype="int32"),
-                "cos_sim": pd.Series(out_c, dtype="float64"),
-            }
-        )
+    from etl_framework_spark.operators.similarity import blocked_cosine_pairs
 
     emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding"
+        "label", "vec_id", "embedding"
     )
-    return emb.groupBy("label").applyInPandas(
-        pairs_fn, schema="id_a long, id_b long, label int, cos_sim double"
+    return blocked_cosine_pairs(emb, "label", NEARDUP_TAU).select(
+        "id_a", "id_b", "label", "cos_sim"
     )
 
 
