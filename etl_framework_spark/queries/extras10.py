@@ -1068,29 +1068,65 @@ def llm_minhash_est_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     toksets = docs.select(
         "doc_id", "lang", "source", F.array_distinct(tokens("text")).alias("ts")
     )
-    sigs = attach_minhash(toksets, "ts", 16)
+    # Exact intersections via the token-explode equi-join (see
+    # operators/dedup.blocked_jaccard_pairs): shared-token counts come
+    # from one partial-agg shuffle instead of array_intersect per pair.
+    # This key's contract INCLUDES zero-overlap pairs, so the counts
+    # LEFT-join onto the signature pair enumeration (missing -> 0).
+    tok = toksets.select("doc_id", "lang", "source", F.explode("ts").alias("tok"))
+    ta = tok.select(F.col("doc_id").alias("ia"), "lang", "source", "tok")
+    tb = tok.select(
+        F.col("doc_id").alias("ib"),
+        F.col("lang").alias("l2"),
+        F.col("source").alias("s2"),
+        F.col("tok").alias("tok2"),
+    )
+    shared = (
+        ta.join(
+            tb,
+            (F.col("lang") == F.col("l2"))
+            & (F.col("source") == F.col("s2"))
+            & (F.col("tok") == F.col("tok2"))
+            & (F.col("ia") < F.col("ib")),
+        )
+        .groupBy("ia", "ib")
+        .agg(F.count("*").cast("double").alias("inter"))
+    )
+    sigs = attach_minhash(toksets.withColumn("sz", F.size("ts")), "ts", 16).drop("ts")
     a, b = sigs.alias("a"), sigs.alias("b")
     agree = sum(
         F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0) for i in range(16)
     )
-    inter = F.size(F.array_intersect("a.ts", "b.ts")).cast("double")
-    union = F.size("a.ts") + F.size("b.ts") - inter
-    exact = inter / union
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            agree.cast("int").alias("n_agree"),
-            F.round(agree / 16.0, 6).alias("est_jac"),
-            F.round(exact, 6).alias("exact_jac"),
-            F.round(agree / 16.0 - exact, 6).alias("err"),
-        )
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        agree.cast("int").alias("n_agree"),
+        (F.col("a.sz") + F.col("b.sz")).alias("szsum"),
+    )
+    joined = pairs.join(
+        shared,
+        (pairs.id_a == shared.ia) & (pairs.id_b == shared.ib),
+        "left",
+    ).select(
+        "id_a",
+        "id_b",
+        "n_agree",
+        F.coalesce("inter", F.lit(0.0)).alias("inter"),
+        "szsum",
+    )
+    exact = F.col("inter") / (F.col("szsum") - F.col("inter"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        "n_agree",
+        F.round(F.col("n_agree") / 16.0, 6).alias("est_jac"),
+        F.round(exact, 6).alias("exact_jac"),
+        F.round(F.col("n_agree") / 16.0 - exact, 6).alias("err"),
     )
 
 
