@@ -436,7 +436,54 @@ class Pipeline:
         return rel
 
 
-def run_pipeline(spark: SparkSession, spec: dict[str, Any]) -> dict[str, DataFrame]:
+def substitute_params(spec: Any, params: dict[str, Any]) -> Any:
+    """Resolve ``${params.<name>}`` placeholders anywhere in a spec —
+    the standard config-ETL idiom for dates, paths, and thresholds
+    (a feed definition templated per run). A placeholder that IS the
+    whole string keeps the parameter's native type (ints/floats stay
+    numbers); embedded placeholders stringify. Unknown names fail
+    loudly at compile time, not as NULLs at 2 a.m."""
+    import re
+
+    pat = re.compile(r"\$\{params\.([A-Za-z_][A-Za-z_0-9]*)\}")
+
+    def resolve(v: Any) -> Any:
+        if isinstance(v, str):
+            whole = pat.fullmatch(v.strip())
+            if whole:
+                name = whole.group(1)
+                if name not in params:
+                    raise ValueError(f"unknown pipeline parameter: {name!r}")
+                return params[name]
+
+            def repl(m: "re.Match[str]") -> str:
+                name = m.group(1)
+                if name not in params:
+                    raise ValueError(f"unknown pipeline parameter: {name!r}")
+                return str(params[name])
+
+            return pat.sub(repl, v)
+        if isinstance(v, dict):
+            return {k: resolve(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [resolve(x) for x in v]
+        return v
+
+    return resolve(spec)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    spec: dict[str, Any],
+    params: dict[str, Any] | None = None,
+) -> dict[str, DataFrame]:
+    if params is None:
+        params = spec.get("params", {})
+    else:
+        params = {**spec.get("params", {}), **params}
+    if params:
+        body = {k: v for k, v in spec.items() if k != "params"}
+        spec = substitute_params(body, params)
     return Pipeline(spec).run(spark)
 
 

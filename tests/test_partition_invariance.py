@@ -38,6 +38,8 @@ FLOAT_SENSITIVE = [
     "fn_geo",
     "llm_semantic_outliers",
     "llm_dedup_embedding",
+    "llm_semdedup",
+    "llm_bm25",
 ]
 
 

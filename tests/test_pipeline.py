@@ -546,3 +546,48 @@ def test_step_materialize_checkpoints_to_parquet(spark):
     assert "mat_step" in plan
     n = rel["big"].count()
     assert n == spark.read.parquet(path).count()
+
+
+def test_spec_parameter_substitution(spark):
+    """${params.x} placeholders resolve everywhere in the spec; whole-
+    string placeholders keep native types; unknown names fail loudly."""
+    import pytest
+    from etl_framework_spark.pipeline import run_pipeline, substitute_params
+
+    spec = {
+        "params": {"sf_dir": SF_SMALL, "min_qty": 40, "status": "A"},
+        "sources": {
+            "lineitem": {
+                "format": "parquet",
+                "path": "${params.sf_dir}/lineitem.parquet",
+            }
+        },
+        "steps": [
+            {
+                "name": "big",
+                "input": "lineitem",
+                "op": "filter",
+                "args": {
+                    "condition": "l_quantity >= ${params.min_qty} "
+                    "AND l_returnflag = '${params.status}'"
+                },
+            }
+        ],
+        "sinks": [{"input": "big", "format": "view", "name": "big_v"}],
+    }
+    rel = run_pipeline(spark, spec)
+    got = rel["big"].count()
+    expect = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .filter("l_quantity >= 40 AND l_returnflag = 'A'")
+        .count()
+    )
+    assert got == expect and got > 0
+    # typed whole-string placeholder stays an int
+    out = substitute_params({"n": "${params.k}"}, {"k": 7})
+    assert out["n"] == 7 and isinstance(out["n"], int)
+    # caller params override spec params
+    rel2 = run_pipeline(spark, spec, params={"min_qty": 45})
+    assert rel2["big"].count() <= got
+    with pytest.raises(ValueError, match="unknown pipeline parameter"):
+        substitute_params({"x": "${params.nope}"}, {})
