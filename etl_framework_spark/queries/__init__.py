@@ -50,6 +50,7 @@ for _m in [
     "extras20",
     "extras21",
     "extras22",
+    "extras23",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the

@@ -40,6 +40,7 @@ FLOAT_SENSITIVE = [
     "llm_dedup_embedding",
     "llm_semdedup",
     "llm_bm25",
+    "vec_pca_power",
 ]
 
 
