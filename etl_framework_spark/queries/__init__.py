@@ -51,6 +51,7 @@ for _m in [
     "extras21",
     "extras22",
     "extras23",
+    "extras24",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
