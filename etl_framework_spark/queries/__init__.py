@@ -52,6 +52,7 @@ for _m in [
     "extras22",
     "extras23",
     "extras24",
+    "extras25",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the

@@ -102,34 +102,10 @@ _PCA_CTE = f"""
 """
 
 
-@query(
-    "vec_pca_power",
-    oracle=_PCA_CTE
-    + """
-    SELECT v2.dim,
-           floor(v2.v * 1000000 + 0.5) / 1000000 AS loading,
-           floor(ray.lam * 1000000 + 0.5) / 1000000 AS eigenvalue,
-           CAST(n.n AS BIGINT) AS n_vecs
-    FROM v2 CROSS JOIN ray CROSS JOIN n
-    """,
-)
-def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding corpus via power
-    iteration, entirely as declarative dataflow (third iterative
-    operator after llm_kmeans and llm_bpe_merges): centered
-    cross-products quantize to 1e-12 and sum as BIGINTs, so the
-    covariance pass — the ONLY corpus-sized stage — is exact integer
-    arithmetic, order- and partition-independent with no fold
-    machinery at all. The 4096-row covariance then drives two
-    unrolled v ← normalize(C·v) rounds and a Rayleigh-quotient
-    eigenvalue, every float sum a dim-ordered strict fold matching
-    the DuckDB list_reduce oracle bit-for-bit. Two rounds are the
-    unrolled building block (production convergence unrolls more of
-    the same; this synthetic spectrum is near-flat, so the oracle
-    checks the ALGORITHM, and the unit test checks both the algorithm
-    replica and the Rayleigh-quotient spectrum bounds). Output: 64
-    loadings + the eigenvalue — the first step of PCA whitening and
-    the variance-direction monitor at 100 TB."""
+def _pca_core(spark: SparkSession, sf_dir: str):
+    """Shared raw pipeline: returns (v2, ray, nrow, cov) DataFrames with
+    UNQUANTIZED values — consumers quantize only at their own emit
+    boundary (vec_pca_power, vec_pca_variance_explained)."""
     prep(spark)
     emb = table(spark, sf_dir, "embeddings")
     ex = emb.select(
@@ -219,6 +195,38 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    return v2, ray, nrow, cov
+
+
+@query(
+    "vec_pca_power",
+    oracle=_PCA_CTE
+    + """
+    SELECT v2.dim,
+           floor(v2.v * 1000000 + 0.5) / 1000000 AS loading,
+           floor(ray.lam * 1000000 + 0.5) / 1000000 AS eigenvalue,
+           CAST(n.n AS BIGINT) AS n_vecs
+    FROM v2 CROSS JOIN ray CROSS JOIN n
+    """,
+)
+def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus via power
+    iteration, entirely as declarative dataflow (third iterative
+    operator after llm_kmeans and llm_bpe_merges): centered
+    cross-products quantize to 1e-12 and sum as BIGINTs, so the
+    covariance pass — the ONLY corpus-sized stage — is exact integer
+    arithmetic, order- and partition-independent with no fold
+    machinery at all. The 4096-row covariance then drives two
+    unrolled v ← normalize(C·v) rounds and a Rayleigh-quotient
+    eigenvalue, every float sum a dim-ordered strict fold matching
+    the DuckDB list_reduce oracle bit-for-bit. Two rounds are the
+    unrolled building block (production convergence unrolls more of
+    the same; this synthetic spectrum is near-flat, so the oracle
+    checks the ALGORITHM, and the unit test checks both the algorithm
+    replica and the Rayleigh-quotient spectrum bounds). Output: 64
+    loadings + the eigenvalue — the first step of PCA whitening and
+    the variance-direction monitor at 100 TB."""
+    v2, ray, nrow, _ = _pca_core(spark, sf_dir)
     return (
         v2.crossJoin(F.broadcast(ray))
         .crossJoin(F.broadcast(nrow))
