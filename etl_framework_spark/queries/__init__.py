@@ -53,6 +53,7 @@ for _m in [
     "extras23",
     "extras24",
     "extras25",
+    "extras26",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
