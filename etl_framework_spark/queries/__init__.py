@@ -54,6 +54,7 @@ for _m in [
     "extras24",
     "extras25",
     "extras26",
+    "extras27",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
