@@ -55,6 +55,7 @@ for _m in [
     "extras25",
     "extras26",
     "extras27",
+    "extras28",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
