@@ -56,6 +56,7 @@ for _m in [
     "extras26",
     "extras27",
     "extras28",
+    "extras29",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
