@@ -65,9 +65,13 @@ def prep(spark: SparkSession) -> SparkSession:
     pin the runtime-settable confs that affect oracle equality
     (SURVEY.md §5.3: UTC timestamps) and performance (AQE).
     """
+    # TZ is oracle-affecting and cheap to set — pin it on EVERY call, so
+    # a harness that resets session confs between queries can't flip
+    # timestamp semantics under us. The expensive/once-only pieces
+    # (optimizer exclusions, shuffle sizing, AQE default) stay memoized.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     sid = id(spark)
     if sid not in _TUNED:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         _exclude_infer_filters_from_generate(spark)
         try:

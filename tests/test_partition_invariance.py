@@ -68,3 +68,18 @@ def test_result_invariant_under_repartitioning(spark, key):
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     assert alt == base, f"{key}: result depends on partitioning"
+
+
+def test_timezone_reset_between_queries_is_harmless(spark):
+    """A harness that flips the session timezone between queries must
+    not change timestamp semantics: prep() re-pins UTC on every call."""
+    import __spark_entry__ as e
+
+    q = e.queries()["stream_tumbling"]
+    base = _canon(q(spark, SF_SMALL))
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        alt = _canon(q(spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert alt == base
