@@ -57,6 +57,7 @@ for _m in [
     "extras27",
     "extras28",
     "extras29",
+    "extras30",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
