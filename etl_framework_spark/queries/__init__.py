@@ -58,6 +58,7 @@ for _m in [
     "extras28",
     "extras29",
     "extras30",
+    "extras31",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
