@@ -59,6 +59,7 @@ for _m in [
     "extras29",
     "extras30",
     "extras31",
+    "extras32",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the

@@ -41,6 +41,8 @@ FLOAT_SENSITIVE = [
     "llm_semdedup",
     "llm_bm25",
     "vec_pca_power",
+    "stats_ttest_welch",
+    "stats_levene",
 ]
 
 
