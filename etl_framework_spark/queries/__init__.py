@@ -60,6 +60,7 @@ for _m in [
     "extras30",
     "extras31",
     "extras32",
+    "extras33",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
