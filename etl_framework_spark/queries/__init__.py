@@ -61,6 +61,7 @@ for _m in [
     "extras31",
     "extras32",
     "extras33",
+    "extras34",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the

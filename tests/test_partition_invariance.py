@@ -43,6 +43,7 @@ FLOAT_SENSITIVE = [
     "vec_pca_power",
     "stats_ttest_welch",
     "stats_levene",
+    "graph_pagerank",
 ]
 
 
