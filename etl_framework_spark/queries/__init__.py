@@ -62,6 +62,7 @@ for _m in [
     "extras32",
     "extras33",
     "extras34",
+    "extras35",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
