@@ -63,6 +63,7 @@ for _m in [
     "extras33",
     "extras34",
     "extras35",
+    "extras36",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
