@@ -64,6 +64,7 @@ for _m in [
     "extras34",
     "extras35",
     "extras36",
+    "extras37",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
