@@ -65,6 +65,7 @@ for _m in [
     "extras35",
     "extras36",
     "extras37",
+    "extras38",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
