@@ -66,6 +66,7 @@ for _m in [
     "extras36",
     "extras37",
     "extras38",
+    "extras39",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
