@@ -67,6 +67,7 @@ for _m in [
     "extras37",
     "extras38",
     "extras39",
+    "extras40",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
