@@ -68,6 +68,7 @@ for _m in [
     "extras38",
     "extras39",
     "extras40",
+    "extras41",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
