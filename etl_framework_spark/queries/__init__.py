@@ -69,6 +69,7 @@ for _m in [
     "extras39",
     "extras40",
     "extras41",
+    "extras42",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
