@@ -70,6 +70,7 @@ for _m in [
     "extras40",
     "extras41",
     "extras42",
+    "extras43",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
