@@ -71,6 +71,7 @@ for _m in [
     "extras41",
     "extras42",
     "extras43",
+    "extras44",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the

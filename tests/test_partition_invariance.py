@@ -44,6 +44,7 @@ FLOAT_SENSITIVE = [
     "stats_ttest_welch",
     "stats_levene",
     "graph_pagerank",
+    "ts_holt_winters",
 ]
 
 
