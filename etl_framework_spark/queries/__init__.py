@@ -72,6 +72,7 @@ for _m in [
     "extras42",
     "extras43",
     "extras44",
+    "extras45",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
