@@ -73,6 +73,7 @@ for _m in [
     "extras43",
     "extras44",
     "extras45",
+    "extras46",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
