@@ -74,6 +74,7 @@ for _m in [
     "extras44",
     "extras45",
     "extras46",
+    "extras47",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
