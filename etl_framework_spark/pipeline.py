@@ -354,6 +354,47 @@ class Pipeline:
         self.spec = spec
         self._validate()
 
+    def lineage(self) -> list[dict[str, Any]]:
+        """Static column-free lineage of the job: one row per relation
+        the spec declares (sources, steps, sinks) with its op and
+        upstream relation(s) — derivable from the CONFIG alone, before
+        anything runs. This is the config-driven-ETL family's audit
+        surface: impact analysis ('what breaks if this feed changes')
+        reads the spec, not the cluster."""
+        rows: list[dict[str, Any]] = []
+        for name, src in sorted(self.spec.get("sources", {}).items()):
+            rows.append(
+                {
+                    "step_idx": 0,
+                    "relation": name,
+                    "op": f"source:{src.get('format', '?')}",
+                    "input_rel": None,
+                    "right_rel": None,
+                }
+            )
+        steps = self.spec.get("steps", [])
+        for i, step in enumerate(steps, start=1):
+            rows.append(
+                {
+                    "step_idx": i,
+                    "relation": step["name"],
+                    "op": "sql" if "sql" in step else step["op"],
+                    "input_rel": step.get("input"),
+                    "right_rel": step.get("args", {}).get("right"),
+                }
+            )
+        for j, sink in enumerate(self.spec.get("sinks", []), start=1):
+            rows.append(
+                {
+                    "step_idx": len(steps) + j,
+                    "relation": f"sink:{sink.get('format', '?')}",
+                    "op": "sink",
+                    "input_rel": sink.get("input"),
+                    "right_rel": None,
+                }
+            )
+        return rows
+
     def _validate(self) -> None:
         known = set(self.spec.get("sources", {}))
         for i, step in enumerate(self.spec.get("steps", [])):

@@ -75,6 +75,7 @@ for _m in [
     "extras45",
     "extras46",
     "extras47",
+    "extras48",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the

@@ -241,33 +241,9 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # E1 composite — multi-step corpus-curation job through the spec engine
 # --------------------------------------------------------------------------
-@query(
-    "pipeline_curation",
-    oracle=r"""
-    WITH f AS (SELECT *, sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-                      AS norm_hash
-               FROM documents
-               WHERE n_chars BETWEEN 80 AND 2000 AND lang IN ('en','es','de','fr')),
-    d AS (SELECT * FROM f
-          QUALIFY row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) = 1)
-    SELECT lang, source,
-           count(*) AS n_docs,
-           round(avg(n_chars), 2) AS avg_chars,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tot_tokens
-    FROM d GROUP BY lang, source
-    """,
-)
-def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's core capability end-to-end: a 4-step curation
-    job — quality gate, content normalization, exact dedup keep-first,
-    per-(lang, source) report — declared entirely as a config spec and
-    executed by the pipeline engine (filter → with_columns → dedup →
-    aggregate). Every step is a Catalyst-planned DataFrame op; the
-    dedup shuffles once on the content hash."""
-    prep(spark)
-    from etl_framework_spark.pipeline import run_pipeline
-
-    spec = {
+def curation_spec(sf_dir: str) -> dict:
+    """The 4-step curation job spec (shared with pipeline_lineage)."""
+    return {
         "sources": {
             "documents": {"format": "parquet", "path": f"{sf_dir}/documents.parquet"}
         },
@@ -313,7 +289,35 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ],
     }
-    return run_pipeline(spark, spec)["report"]
+
+
+@query(
+    "pipeline_curation",
+    oracle=r"""
+    WITH f AS (SELECT *, sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                      AS norm_hash
+               FROM documents
+               WHERE n_chars BETWEEN 80 AND 2000 AND lang IN ('en','es','de','fr')),
+    d AS (SELECT * FROM f
+          QUALIFY row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) = 1)
+    SELECT lang, source,
+           count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tot_tokens
+    FROM d GROUP BY lang, source
+    """,
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core capability end-to-end: a 4-step curation
+    job — quality gate, content normalization, exact dedup keep-first,
+    per-(lang, source) report — declared entirely as a config spec and
+    executed by the pipeline engine (filter → with_columns → dedup →
+    aggregate). Every step is a Catalyst-planned DataFrame op; the
+    dedup shuffles once on the content hash."""
+    prep(spark)
+    from etl_framework_spark.pipeline import run_pipeline
+
+    return run_pipeline(spark, curation_spec(sf_dir))["report"]
 
 
 # --------------------------------------------------------------------------
