@@ -76,6 +76,7 @@ for _m in [
     "extras46",
     "extras47",
     "extras48",
+    "extras49",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
