@@ -77,6 +77,7 @@ for _m in [
     "extras47",
     "extras48",
     "extras49",
+    "extras50",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the
