@@ -78,6 +78,8 @@ for _m in [
     "extras48",
     "extras49",
     "extras50",
+    "extras51",
+    "extras52",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the

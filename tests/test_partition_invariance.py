@@ -45,6 +45,10 @@ FLOAT_SENSITIVE = [
     "stats_levene",
     "graph_pagerank",
     "ts_holt_winters",
+    "ts_clamped_cumsum",
+    "ts_croston",
+    "stats_fdr_bh",
+    "stats_trimmed_mean",
 ]
 
 
