@@ -80,6 +80,7 @@ for _m in [
     "extras50",
     "extras51",
     "extras52",
+    "extras53",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the

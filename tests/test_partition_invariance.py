@@ -49,6 +49,9 @@ FLOAT_SENSITIVE = [
     "ts_croston",
     "stats_fdr_bh",
     "stats_trimmed_mean",
+    "join_geo_grid",
+    "stats_qq_compare",
+    "mix_weighted_sample",
 ]
 
 
