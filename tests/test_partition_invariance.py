@@ -52,6 +52,9 @@ FLOAT_SENSITIVE = [
     "join_geo_grid",
     "stats_qq_compare",
     "mix_weighted_sample",
+    "llm_collocations_llr",
+    "feat_infogain",
+    "stats_simpsons",
 ]
 
 
