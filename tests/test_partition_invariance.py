@@ -55,6 +55,7 @@ FLOAT_SENSITIVE = [
     "llm_collocations_llr",
     "feat_infogain",
     "stats_simpsons",
+    "ts_ewma_irregular",
 ]
 
 
