@@ -56,6 +56,14 @@ FLOAT_SENSITIVE = [
     "feat_infogain",
     "stats_simpsons",
     "ts_ewma_irregular",
+    "events_token_bucket",
+    "events_alarm_hysteresis",
+    "vec_knn_reciprocity",
+    "ts_periodogram",
+    "llm_entropy_rate",
+    "stats_cluster_se",
+    "stats_logrank",
+    "vec_product_quantization",
 ]
 
 
