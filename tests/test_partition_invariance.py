@@ -64,6 +64,10 @@ FLOAT_SENSITIVE = [
     "stats_cluster_se",
     "stats_logrank",
     "vec_product_quantization",
+    "ts_rsi",
+    "ts_spectral_entropy",
+    "stats_kruskal_wallis",
+    "stats_wilcoxon_signed_rank",
 ]
 
 
