@@ -68,6 +68,8 @@ FLOAT_SENSITIVE = [
     "ts_spectral_entropy",
     "stats_kruskal_wallis",
     "stats_wilcoxon_signed_rank",
+    "ts_matrix_profile",
+    "ts_cointegration_lite",
 ]
 
 
