@@ -70,6 +70,8 @@ FLOAT_SENSITIVE = [
     "stats_wilcoxon_signed_rank",
     "ts_matrix_profile",
     "ts_cointegration_lite",
+    "ts_theta_method",
+    "stats_meta_analysis",
 ]
 
 
