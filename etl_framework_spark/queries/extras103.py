@@ -118,7 +118,13 @@ def llm_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("nb"),
         "bucket",
     )
-    pairs = x.join(y, "bucket").filter(F.col("i") < F.col("j"))
+    # pairs are few but each carries an O(n·m²) DP — spread them so
+    # every core folds its share instead of one task folding them all
+    pairs = (
+        x.join(y, "bucket")
+        .filter(F.col("i") < F.col("j"))
+        .repartition(32, "i", "j")
+    )
     lb = F.col("lb")
     # per-token match vectors against lb: element type == DP-row type
     mvs = F.transform(
