@@ -205,7 +205,11 @@ def vec_two_nn_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
     )
-    a = v.select(F.col("vec_id").alias("i"), F.col("e").alias("ea"))
+    # nested-loop pair join inherits the left side's partitioning —
+    # spread the anchors so every core folds its share of pairs
+    a = v.select(F.col("vec_id").alias("i"), F.col("e").alias("ea")).repartition(
+        32, "i"
+    )
     b = v.select(F.col("vec_id").alias("j"), F.col("e").alias("eb"))
     diffs = F.transform(
         F.sequence(F.lit(1), F.size("ea")),
