@@ -72,6 +72,7 @@ FLOAT_SENSITIVE = [
     "ts_cointegration_lite",
     "ts_theta_method",
     "stats_meta_analysis",
+    "ts_holt_damped",
 ]
 
 
