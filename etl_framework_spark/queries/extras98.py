@@ -184,7 +184,7 @@ def events_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr AS (SELECT avg(CAST(d AS DOUBLE)) AS t FROM deg),
     sizes AS (
       SELECT CAST(count(*) AS DOUBLE) AS n_nodes,
-             CAST(sum(CASE WHEN d > thr.t THEN 1 ELSE 0 END)
+             CAST(sum(CASE WHEN d >= thr.t THEN 1 ELSE 0 END)
                   AS DOUBLE) AS n_rich
       FROM deg CROSS JOIN thr
     ),
@@ -193,26 +193,29 @@ def events_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM edges e
       JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
       CROSS JOIN thr
-      WHERE da.d > thr.t AND db.d > thr.t
+      WHERE da.d >= thr.t AND db.d >= thr.t
     ),
     all_edges AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM edges)
     SELECT CAST(s.n_nodes AS BIGINT) AS n_nodes,
            CAST(s.n_rich AS BIGINT) AS n_rich,
            CAST(a.m AS BIGINT) AS n_edges,
            CAST(r.m_rich AS BIGINT) AS rich_edges,
-           round(r.m_rich / (s.n_rich * (s.n_rich - 1) / 2.0), 6)
-             AS rich_density,
+           CASE WHEN s.n_rich >= 2
+                THEN round(r.m_rich / (s.n_rich * (s.n_rich - 1) / 2.0), 6)
+           END AS rich_density,
            round(a.m / (s.n_nodes * (s.n_nodes - 1) / 2.0), 6)
              AS overall_density,
-           round((r.m_rich / (s.n_rich * (s.n_rich - 1) / 2.0))
-                 / (a.m / (s.n_nodes * (s.n_nodes - 1) / 2.0)), 6)
-             AS rich_club_ratio
+           CASE WHEN s.n_rich >= 2
+                THEN round((r.m_rich / (s.n_rich * (s.n_rich - 1) / 2.0))
+                           / (a.m / (s.n_nodes * (s.n_nodes - 1) / 2.0)), 6)
+           END AS rich_club_ratio
     FROM sizes s CROSS JOIN rich_edges r CROSS JOIN all_edges a
     """,
 )
 def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-club coefficient of the token-adjacency graph: density
-    of the subgraph induced by above-mean-degree nodes, relative to
+    of the subgraph induced by at-or-above-mean-degree nodes (>= so
+    a regular graph keeps a well-defined rich set), relative to
     overall density. ratio ≫ 1 = hubs preferentially wire to each
     other (the small-world core that makes hub-removal
     catastrophic); ≈1 = degree explains nothing extra. Edges within
@@ -250,7 +253,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = deg.agg(F.avg(F.col("d").cast("double")).alias("t"))
     sizes = deg.crossJoin(F.broadcast(thr)).agg(
         F.count(F.lit(1)).cast("double").alias("n_nodes"),
-        F.sum(F.when(F.col("d") > F.col("t"), 1).otherwise(0))
+        F.sum(F.when(F.col("d") >= F.col("t"), 1).otherwise(0))
         .cast("double")
         .alias("n_rich"),
     )
@@ -260,7 +263,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.join(F.broadcast(da), "a")
         .join(F.broadcast(db), "b")
         .crossJoin(F.broadcast(thr))
-        .filter((F.col("da") > F.col("t")) & (F.col("db") > F.col("t")))
+        .filter((F.col("da") >= F.col("t")) & (F.col("db") >= F.col("t")))
         .agg(F.count(F.lit(1)).cast("double").alias("m_rich"))
     )
     all_edges = edges.agg(F.count(F.lit(1)).cast("double").alias("m"))
@@ -272,9 +275,13 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rich").cast("bigint").alias("n_rich"),
         F.col("m").cast("bigint").alias("n_edges"),
         F.col("m_rich").cast("bigint").alias("rich_edges"),
-        F.round(rich_density, 6).alias("rich_density"),
+        F.when(F.col("n_rich") >= 2, F.round(rich_density, 6)).alias(
+            "rich_density"
+        ),
         F.round(overall_density, 6).alias("overall_density"),
-        F.round(rich_density / overall_density, 6).alias("rich_club_ratio"),
+        F.when(
+            F.col("n_rich") >= 2, F.round(rich_density / overall_density, 6)
+        ).alias("rich_club_ratio"),
     )
 
 
