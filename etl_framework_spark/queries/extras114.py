@@ -290,9 +290,16 @@ def llm_source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     between every pair of source unigram profiles, the 10 MOST
     similar pairs — near-zero JSD between two 'different' sources
     means the same upstream crawl was ingested twice under two
-    names (a mix-weighting bug waiting to happen). Profiles are
-    (source, token) rollups; the pair join is vocabulary × source-
-    pairs, both bounded. Integer counts → deterministic logs. Ref:
+    names (a mix-weighting bug waiting to happen). The oracle is the
+    dense-grid SPEC; the Spark plan is the SPARSE form: only tokens
+    present in BOTH sources of a pair contribute a data-dependent
+    term (shuffle equi-join of the profile with itself on tk — no
+    vocab-sized broadcast, no source-pair × vocab grid), and the
+    one-sided remainder has the closed form 0.5·ln2·(2-Σpa-Σpb)
+    because each profile sums to 1. Pairs sharing zero tokens get
+    JSD = ln2 via a left join from the (tiny) source-pair list.
+    Scale: profile join shuffles on tk, per-token cost is (#sources
+    having tk)² — bounded by the source count, never by vocab. Ref:
     reference provenance-audit tests (cf. llm_js_divergence for one
     pair, llm_source_exclusive_vocab for the complement view)."""
     prep(spark)
@@ -308,31 +315,38 @@ def llm_source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "tk", (F.col("c") / F.col("t")).alias("p")
     )
     srcs = prof.select("source").distinct()
-    vocab = prof.select("tk").distinct()
-    grid = (
-        srcs.select(F.col("source").alias("s1"))
-        .join(srcs.select(F.col("source").alias("s2")), F.col("s1") < F.col("s2"))
-        .crossJoin(vocab)
-    )
     a = p.select(F.col("source").alias("s1"), "tk", F.col("p").alias("pa"))
     b = p.select(F.col("source").alias("s2"), "tk", F.col("p").alias("pb"))
-    pairs = (
-        grid.join(F.broadcast(a), ["s1", "tk"], "left")
-        .join(F.broadcast(b), ["s2", "tk"], "left")
-        .select(
-            "s1",
-            "s2",
-            F.coalesce(F.col("pa"), F.lit(0.0)).alias("pa"),
-            F.coalesce(F.col("pb"), F.lit(0.0)).alias("pb"),
-        )
-    )
+    # sparse path: shuffle equi-join on tk pairs only CO-OCCURRING
+    # tokens; one-sided mass is reconstructed in closed form below
+    both = a.join(b, "tk").filter(F.col("s1") < F.col("s2"))
     m = (F.col("pa") + F.col("pb")) / 2
-    term = F.when(
-        F.col("pa") > 0, 0.5 * F.col("pa") * F.log(F.col("pa") / m)
-    ).otherwise(0.0) + F.when(
-        F.col("pb") > 0, 0.5 * F.col("pb") * F.log(F.col("pb") / m)
-    ).otherwise(0.0)
-    js = pairs.groupBy("s1", "s2").agg(F.sum(term).alias("jsd"))
+    term = 0.5 * F.col("pa") * F.log(F.col("pa") / m) + 0.5 * F.col(
+        "pb"
+    ) * F.log(F.col("pb") / m)
+    co = both.groupBy("s1", "s2").agg(
+        F.sum(term).alias("t_both"),
+        F.sum("pa").alias("ca"),
+        F.sum("pb").alias("cb"),
+    )
+    grid = srcs.select(F.col("source").alias("s1")).join(
+        srcs.select(F.col("source").alias("s2")), F.col("s1") < F.col("s2")
+    )
+    ln2 = math.log(2.0)
+    js = grid.join(co, ["s1", "s2"], "left").select(
+        "s1",
+        "s2",
+        (
+            F.coalesce(F.col("t_both"), F.lit(0.0))
+            + 0.5
+            * ln2
+            * (
+                2.0
+                - F.coalesce(F.col("ca"), F.lit(0.0))
+                - F.coalesce(F.col("cb"), F.lit(0.0))
+            )
+        ).alias("jsd"),
+    )
     return (
         js.select(
             F.col("s1").alias("source_1"),

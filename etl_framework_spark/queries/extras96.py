@@ -158,13 +158,14 @@ def llm_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
     ),
+    anchors AS (SELECT * FROM v WHERE vec_id % 5 = 0),
     pairs AS (
       SELECT a.vec_id AS i, b.vec_id AS j,
              floor(list_reduce(
                list_transform(range(1, len(a.e) + 1),
                  k -> (a.e[k] - b.e[k]) * (a.e[k] - b.e[k])),
                (x, y) -> x + y) * 1000000000 + 0.5) / 1000000000 AS d2
-      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+      FROM anchors a JOIN v b ON a.vec_id <> b.vec_id
     ),
     ranked AS (
       SELECT i, d2,
@@ -196,8 +197,13 @@ def vec_two_nn_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions do they USE' — complements vec_participation_ratio
     (global covariance) with a local, nonlinear estimate. Distances
     grid-quantized before the per-point top-2 (row_number on (d, j))
-    so both engines rank identically; at scale the pair join is the
-    ANN candidate set, not all pairs. Ref: reference
+    so both engines rank identically. The estimator only needs a
+    SAMPLE of anchor points (TwoNN converges with a few thousand
+    anchors regardless of corpus size), so the query side is a
+    deterministic 1-in-5 sample (vec_id % 5) scanned exactly against
+    the full candidate side: O(M*N) with M fixed at scale (grow the
+    modulus with N to pin M at 2-5k anchors), never O(N^2). Oracle
+    samples identically, so parity stays exact. Ref: reference
     embedding-diagnostics tests."""
     prep(spark)
     emb = table(spark, sf_dir, "embeddings")
@@ -207,15 +213,15 @@ def vec_two_nn_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # nested-loop pair join inherits the left side's partitioning —
     # spread the anchors so every core folds its share of pairs
-    a = v.select(F.col("vec_id").alias("i"), F.col("e").alias("ea")).repartition(
-        32, "i"
+    a = (
+        v.filter(F.col("vec_id") % 5 == 0)
+        .select(F.col("vec_id").alias("i"), F.col("e").alias("ea"))
+        .repartition(32, "i")
     )
     b = v.select(F.col("vec_id").alias("j"), F.col("e").alias("eb"))
-    diffs = F.transform(
-        F.sequence(F.lit(1), F.size("ea")),
-        lambda k: (F.element_at("ea", k) - F.element_at("eb", k))
-        * (F.element_at("ea", k) - F.element_at("eb", k)),
-    )
+    # zip_with yields the same diffs array (same element order ->
+    # bit-exact same fold) without sequence() + element_at per lane
+    diffs = F.zip_with("ea", "eb", lambda x, y: (x - y) * (x - y))
     d2 = F.aggregate(
         F.slice(diffs, 2, F.size(diffs) - 1),
         F.element_at(diffs, 1),
