@@ -2,6 +2,11 @@
 observable — predicate pushdown, column pruning, join strategy,
 TakeOrderedAndProject — and snapshot them for regression diffing."""
 
-from etl_framework_spark.plans.inspect import explain_str, capture_plans, assert_in_plan
+from etl_framework_spark.plans.inspect import (
+    explain_str,
+    capture_plans,
+    assert_in_plan,
+    normalize_plan,
+)
 
-__all__ = ["explain_str", "capture_plans", "assert_in_plan"]
+__all__ = ["explain_str", "capture_plans", "assert_in_plan", "normalize_plan"]

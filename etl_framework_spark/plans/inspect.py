@@ -11,8 +11,25 @@ before it shows up in bench numbers.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame
+
+
+def normalize_plan(plan: str) -> str:
+    """Strip run-dependent noise from a formatted plan so snapshots
+    diff cleanly across sessions: expression IDs (#123 — a global
+    counter that depends on what ran before), plan_id tags, codegen
+    ids, and absolute data paths. Structure (operators, join
+    strategies, pushed filters, read schemas) is untouched — exactly
+    what a golden-plan regression test should pin."""
+    plan = re.sub(r"#\d+L?", "#x", plan)
+    plan = re.sub(r"\blambda ([a-z]+)_\d+", r"lambda \1_n", plan)
+    plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
+    plan = re.sub(r"\[codegen id : \d+\]", "[codegen id : x]", plan)
+    plan = re.sub(r"file:[^\],\s]*/testdata/", "file:.../testdata/", plan)
+    plan = re.sub(r"file:[^\],\s]*/(spark-warehouse|tmp)[^\],\s]*", r"file:.../\1", plan)
+    return plan
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
@@ -37,7 +54,7 @@ def capture_plans(queries: dict, spark, sf_dir: str, out_dir: str) -> list[str]:
     written = []
     for key, fn in queries.items():
         try:
-            plan = explain_str(fn(spark, sf_dir))
+            plan = normalize_plan(explain_str(fn(spark, sf_dir)))
         except Exception as e:  # noqa: BLE001 — capture what we can
             plan = f"ERROR: {e}"
         path = os.path.join(out_dir, f"{key}.txt")
