@@ -528,11 +528,123 @@ def run_pipeline(
     return Pipeline(spec).run(spark)
 
 
+def _xml_scalar(s: str | None) -> Any:
+    """Coerce an XML attribute/text scalar the way YAML would:
+    int, float, bool, null — anything else stays a string (so SQL
+    expression strings like 'revenue >= 0' pass through untouched)."""
+    if s is None:
+        return None
+    t = s.strip()
+    low = t.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("null", "~", ""):
+        return None if low != "" else t
+    try:
+        return int(t)
+    except ValueError:
+        pass
+    try:
+        return float(t)
+    except ValueError:
+        pass
+    return t
+
+
+def _xml_value(el: Any) -> Any:
+    """Generic XML element -> spec value. Rules (mirroring how the
+    reference family's XML feed definitions nest): a leaf with only
+    text is a coerced scalar; attributes become dict keys; children
+    all tagged <item> become a list; repeated same-tag children
+    become a list under that tag; single children become nested
+    keys. Multi-line text (e.g. <sql>) keeps its whitespace."""
+    children = list(el)
+    if not children:
+        if el.attrib:
+            d: dict[str, Any] = {k: _xml_scalar(v) for k, v in el.attrib.items()}
+            if el.text and el.text.strip():
+                d["value"] = _xml_scalar(el.text)
+            return d
+        return _xml_scalar(el.text) if el.text is not None else None
+    if all(c.tag == "item" for c in children):
+        return [_xml_value(c) for c in children]
+    d = {k: _xml_scalar(v) for k, v in el.attrib.items()}
+    tags = [c.tag for c in children]
+    for tag in dict.fromkeys(tags):  # first-seen order
+        same = [c for c in children if c.tag == tag]
+        d[tag] = [_xml_value(c) for c in same] if len(same) > 1 else _xml_value(same[0])
+    return d
+
+
+def _xml_to_spec(text: str, path: str) -> dict[str, Any]:
+    """Parse an XML job definition into the canonical dict spec —
+    the reference family declares feeds/jobs in XML; this is the
+    migration surface for those configs. Schema:
+
+        <job>
+          <params><param name="k">v</param>...</params>
+          <sources><source name="n" format="parquet" path="..."/></sources>
+          <steps>
+            <step name="n" input="prev" op="filter">
+              <args><condition>expr</condition></args>
+            </step>
+            <step name="n"><sql>SELECT ...</sql></step>
+          </steps>
+          <sinks><sink input="n" format="view" name="out"/></sinks>
+        </job>
+
+    List-valued args use <item> children; dict-valued args use nested
+    tags. Attribute and text scalars are YAML-coerced (ints, floats,
+    bools), so <check type="row_count" min="1"/> arrives typed."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError as e:
+        raise ValueError(f"{path}: invalid XML job spec: {e}") from e
+    if root.tag != "job":
+        raise ValueError(f"{path}: XML job spec root must be <job>, got <{root.tag}>")
+
+    spec: dict[str, Any] = {}
+    params_el = root.find("params")
+    if params_el is not None:
+        spec["params"] = {
+            p.attrib["name"]: _xml_scalar(p.text) for p in params_el.findall("param")
+        }
+    sources_el = root.find("sources")
+    if sources_el is not None:
+        sources: dict[str, Any] = {}
+        for src in sources_el.findall("source"):
+            v = _xml_value(src)
+            if not isinstance(v, dict) or "name" not in v:
+                raise ValueError(f"{path}: <source> requires a name attribute")
+            sources[v.pop("name")] = v
+        spec["sources"] = sources
+    steps_el = root.find("steps")
+    if steps_el is not None:
+        steps: list[dict[str, Any]] = []
+        for st in steps_el.findall("step"):
+            step: dict[str, Any] = {k: _xml_scalar(v) for k, v in st.attrib.items()}
+            sql_el = st.find("sql")
+            if sql_el is not None and sql_el.text:
+                step["sql"] = sql_el.text.strip()
+            args_el = st.find("args")
+            if args_el is not None:
+                step["args"] = {c.tag: _xml_value(c) for c in args_el}
+            steps.append(step)
+        spec["steps"] = steps
+    sinks_el = root.find("sinks")
+    if sinks_el is not None:
+        spec["sinks"] = [_xml_value(s) for s in sinks_el.findall("sink")]
+    return spec
+
+
 def load_spec(path: str) -> dict[str, Any]:
-    """Load a job spec from a JSON or YAML config file — the
+    """Load a job spec from a JSON, YAML, or XML config file — the
     reference family's surface: ETL jobs are declared in config files
-    (feed/job definitions), not code. YAML requires pyyaml (present
-    in this environment; JSON always works)."""
+    (XML feed/job definitions natively; JSON/YAML as modern twins).
+    YAML requires pyyaml (present in this environment; JSON and XML
+    always work — stdlib only)."""
     import json
 
     with open(path) as f:
@@ -543,6 +655,8 @@ def load_spec(path: str) -> dict[str, Any]:
         except ImportError as e:  # pragma: no cover - pyyaml is installed here
             raise ValueError(f"{path}: YAML specs require pyyaml") from e
         spec = yaml.safe_load(text)
+    elif path.endswith(".xml"):
+        spec = _xml_to_spec(text, path)
     else:
         spec = json.loads(text)
     if not isinstance(spec, dict):

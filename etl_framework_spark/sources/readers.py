@@ -4,7 +4,7 @@ The reference family declares sources/sinks in job configs (CSV/JSON
 files, JDBC, Hive) and delegates IO to Spark's DataSource API; this is
 the same surface as spec dicts:
 
-    {"format": "parquet"|"csv"|"json"|"jdbc", "path"|"url": ...,
+    {"format": "parquet"|"csv"|"json"|"jdbc"|"table", "path"|"url"|"name": ...,
      "schema": "a INT, b STRING",   # optional DDL (schema-on-read)
      "options": {...},              # passed through to the reader
      "stream": true}                # readStream instead of read
@@ -38,6 +38,17 @@ def read_source(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
         for k, v in options.items():
             reader = reader.option(k, v)
         return reader.load()
+    if fmt == "table":  # catalog/metastore-backed (Hive-style) source
+        # The reference family reads Hive tables by name from job
+        # configs; here the session catalog (in-memory or Hive
+        # metastore, whatever the session was built with) resolves the
+        # name. Partition pruning/stats come from the catalog entry —
+        # at cluster scale this is the path that sees Hive partitions.
+        if "name" not in spec:
+            raise ValueError("table source needs 'name'")
+        if not spark.catalog.tableExists(spec["name"]):
+            raise ValueError(f"table source: {spec['name']!r} not in catalog")
+        return spark.read.options(**options).table(spec["name"])
     if fmt == "docstore":  # custom Python DataSource connector
         from etl_framework_spark.sources.docstore import register
 
@@ -68,6 +79,15 @@ def write_sink(df: DataFrame, spec: dict[str, Any]) -> None:
     fmt = spec.get("format", "parquet")
     if fmt == "view":  # in-memory sink: register for downstream consumers
         df.createOrReplaceTempView(spec["name"])
+        return
+    if fmt == "table":  # catalog-managed (saveAsTable) sink — the
+        # write half of the {"format": "table"} source above
+        writer = df.write.mode(spec.get("mode", "overwrite"))
+        if spec.get("partition_by"):
+            writer = writer.partitionBy(*spec["partition_by"])
+        for k, v in dict(spec.get("options", {})).items():
+            writer = writer.option(k, v)
+        writer.saveAsTable(spec["name"])
         return
     if fmt == "jdbc":
         required = {"url", "dbtable"}

@@ -39,6 +39,39 @@ def test_json_quality_dedup_job(spark):
     assert dups == 0
 
 
+def test_xml_twin_matches_yaml(spark):
+    """The XML feed-definition surface (reference-native format):
+    examples/revenue_by_nation.xml is the XML twin of the YAML job —
+    identical sources/steps, sink renamed — and must produce the
+    exact same rows in the same order."""
+    run_pipeline_file(spark, f"{EXAMPLES}/revenue_by_nation.yaml")
+    run_pipeline_file(spark, f"{EXAMPLES}/revenue_by_nation.xml")
+    y = spark.table("example_top_nations").collect()
+    x = spark.table("example_top_nations_xml").collect()
+    assert x == y
+    assert len(x) > 0
+
+
+def test_xml_spec_parses_typed_scalars(tmp_path):
+    from etl_framework_spark.pipeline import load_spec
+
+    p = tmp_path / "j.xml"
+    p.write_text(
+        "<job><params><param name='k'>3</param></params>"
+        "<sources><source name='s' format='parquet' path='/x'/></sources>"
+        "<steps><step name='a' input='s' op='validate'>"
+        "<args><checks><item type='row_count' min='1' max='2.5'/>"
+        "</checks></args></step></steps>"
+        "<sinks><sink input='a' format='view' name='v' overwrite='true'/></sinks></job>"
+    )
+    spec = load_spec(str(p))
+    assert spec["params"] == {"k": 3}
+    assert spec["sources"] == {"s": {"format": "parquet", "path": "/x"}}
+    chk = spec["steps"][0]["args"]["checks"][0]
+    assert chk == {"type": "row_count", "min": 1, "max": 2.5}
+    assert spec["sinks"][0]["overwrite"] is True
+
+
 def test_load_spec_rejects_non_mapping(tmp_path):
     p = tmp_path / "bad.json"
     p.write_text("[1, 2, 3]")

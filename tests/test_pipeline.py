@@ -95,6 +95,38 @@ def test_csv_json_roundtrip(spark):
     )
 
 
+def test_table_source_sink_roundtrip(spark):
+    """Catalog-managed table as a first-class spec vocabulary item
+    (VERDICT r5 item 7): write with {"format": "table"} (saveAsTable),
+    read back with {"format": "table", "name": ...} via the session
+    catalog — the Hive-metastore path at cluster scale."""
+    df = table(spark, SF_SMALL, "region")
+    write_sink(df, {"format": "table", "name": "rt_region_managed"})
+    back = read_source(spark, {"format": "table", "name": "rt_region_managed"})
+    assert sorted(r.r_regionkey for r in back.collect()) == sorted(
+        r.r_regionkey for r in df.collect()
+    )
+    # and the spec composes through a full pipeline run
+    rel = run_pipeline(
+        spark,
+        {
+            "sources": {"r": {"format": "table", "name": "rt_region_managed"}},
+            "steps": [
+                {"name": "small", "input": "r", "op": "filter",
+                 "args": {"condition": "r_regionkey < 3"}}
+            ],
+            "sinks": [{"input": "small", "format": "view", "name": "rt_small"}],
+        },
+    )
+    assert rel["small"].count() == 3
+    spark.sql("DROP TABLE IF EXISTS rt_region_managed")
+
+
+def test_table_source_unknown_name(spark):
+    with pytest.raises(ValueError, match="not in catalog"):
+        read_source(spark, {"format": "table", "name": "no_such_table_xyz"})
+
+
 def test_jdbc_source_validates_args(spark):
     with pytest.raises(ValueError, match="jdbc source missing"):
         read_source(spark, {"format": "jdbc", "url": "jdbc:postgresql://x/db"})
