@@ -319,3 +319,70 @@ def test_rocksdb_state_store_backend(spark, tmp_path):
     got = spark.table(name).agg(F.sum("n")).collect()[0][0]
     batch = table(spark, SF_SMALL, "events").count()
     assert got == batch
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill-and-restart recovery (VERDICT r5 item 8): a STATEFUL
+    dedup stream writes half the input to a checkpointed file sink,
+    stops, the other half (heavily overlapping dedup keys) arrives,
+    and a NEW query restarted from the same checkpoint must (a) not
+    reprocess the consumed files and (b) recover the dedup state, so
+    the final sink equals the batch-distinct answer exactly once.
+    If source offsets were lost, half-1 rows would duplicate; if
+    operator state were lost, half-1's (user, event_type) pairs would
+    be re-emitted by half-2 rows."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    half1 = ev.filter(F.col("event_id") <= mid)
+    half2 = ev.filter(F.col("event_id") > mid)
+    # the recovery signal: half-2 shares almost every dedup key with
+    # half-1 (every user emits every event type throughout the day)
+    schema = "event_id bigint, user_id bigint, event_type string, value double"
+
+    def run_to_completion() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(in_dir)
+            .dropDuplicates(["user_id", "event_type"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    half1.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    run_to_completion()  # run 1: consumes half 1, then "dies"
+    n_after_half1 = spark.read.parquet(out_dir).count()
+    assert n_after_half1 == half1.select("user_id", "event_type").distinct().count()
+
+    half2.coalesce(1).write.mode("append").parquet(in_dir)
+    run_to_completion()  # run 2: restart from the same checkpoint
+
+    out = spark.read.parquet(out_dir)
+    expected = ev.select("user_id", "event_type").distinct().count()
+    assert out.count() == expected  # exactly once, state recovered
+    assert (
+        out.groupBy("user_id", "event_type").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    # and recovery genuinely exercised cross-restart state: half 2
+    # re-sent keys half 1 already emitted, yet none were duplicated —
+    # impossible unless the dedup state survived the restart
+    overlap = (
+        half2.select("user_id", "event_type")
+        .distinct()
+        .join(half1.select("user_id", "event_type").distinct(),
+              ["user_id", "event_type"])
+        .count()
+    )
+    assert overlap > 0
+    assert out.count() >= n_after_half1
