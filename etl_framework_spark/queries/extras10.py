@@ -1404,7 +1404,7 @@ def events_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_ab_test",
     oracle="""
-    WITH tagged AS (SELECT CAST(CASE WHEN (user_id * 2654435761) % 4294967296
+    WITH tagged AS (SELECT CAST(CASE WHEN ((user_id % 1000000007) * 2654435761) % 4294967296
                                           >= 2147483648 THEN 1 ELSE 0 END
                                 AS INT) AS arm,
                            value
@@ -1445,7 +1445,7 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     tagged = ev.select(
         F.when(
-            F.pmod(F.col("user_id") * 2654435761, F.lit(4294967296)) >= 2147483648,
+            F.pmod((F.col("user_id") % 1000000007) * 2654435761, F.lit(4294967296)) >= 2147483648,
             1,
         )
         .otherwise(0)

@@ -84,7 +84,7 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = table(spark, sf_dir, "orders")
     cu = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     cust = (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        od.join(cu, od.o_custkey == cu.c_custkey)
         .groupBy(
             F.col("c_nationkey").alias("nation"),
             F.col("o_custkey").alias("cust"),

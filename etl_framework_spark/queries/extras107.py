@@ -281,7 +281,7 @@ def sales_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     yr = F.year(F.col("o_orderdate").cast("date"))
     r = (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        od.join(cu, od.o_custkey == cu.c_custkey)
         .filter(yr.isin(1995, 1996))
         .select(
             F.col("c_nationkey").alias("nation"),

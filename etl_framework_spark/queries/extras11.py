@@ -269,7 +269,7 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
       QUALIFY row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) = 1
     ),
     split AS (
-      SELECT *, CASE WHEN (doc_id * {_K}) % {_MOD} < {_TRAIN_LT}
+      SELECT *, CASE WHEN ((doc_id % 1000000007) * {_K}) % {_MOD} < {_TRAIN_LT}
                      THEN 'train' ELSE 'test' END AS split
       FROM deduped
     )
@@ -323,7 +323,7 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "op": "with_columns",
                 "args": {
                     "columns": {
-                        "split": f"CASE WHEN (doc_id * {_K}) % {_MOD}"
+                        "split": f"CASE WHEN ((doc_id % 1000000007) * {_K}) % {_MOD}"
                         f" < {_TRAIN_LT} THEN 'train' ELSE 'test' END"
                     }
                 },

@@ -75,7 +75,7 @@ def mix_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     od = table(spark, sf_dir, "orders")
     cu = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    base = od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey).select(
+    base = od.join(cu, od.o_custkey == cu.c_custkey).select(
         F.col("c_nationkey").alias("nation"), F.col("o_totalprice").alias("y")
     )
     g = base.groupBy("nation").agg(

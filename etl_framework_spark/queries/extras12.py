@@ -84,7 +84,7 @@ def diag_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT doc_id,
              sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS nh,
-             (doc_id * {_K}) % {_MOD} >= {_TRAIN_LT} AS is_delta
+             ((doc_id % 1000000007) * {_K}) % {_MOD} >= {_TRAIN_LT} AS is_delta
       FROM documents
     ),
     corpus AS (SELECT DISTINCT nh FROM h WHERE NOT is_delta),
@@ -115,7 +115,7 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(
             F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256
         ).alias("nh"),
-        ((F.col("doc_id") * _K) % _MOD >= _TRAIN_LT).alias("is_delta"),
+        (((F.col("doc_id") % 1000000007) * _K) % _MOD >= _TRAIN_LT).alias("is_delta"),
     )
     corpus = h.filter(~F.col("is_delta")).select("nh").distinct()
     delta = h.filter(F.col("is_delta")).withColumn(

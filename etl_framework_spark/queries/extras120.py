@@ -168,7 +168,7 @@ def sales_brand_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     mx = li.agg(F.max(F.col("l_shipdate").cast("date")).alias("asof"))
     base = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .crossJoin(F.broadcast(mx))
         .select(
             F.col("p_brand").alias("brand"),
@@ -284,7 +284,7 @@ def stats_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    base = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).select(
+    base = li.join(sup, li.l_suppkey == sup.s_suppkey).select(
         F.col("s_nationkey").alias("nation"),
         F.when(F.col("l_quantity") > 25, 1).otherwise(0).alias("exposed"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),

@@ -84,7 +84,7 @@ def stats_ci_method_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    base = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).select(
+    base = li.join(sup, li.l_suppkey == sup.s_suppkey).select(
         F.col("s_nationkey").alias("nation"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
     )

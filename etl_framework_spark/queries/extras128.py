@@ -58,7 +58,7 @@ _SHARDS = 8
     ),
     u AS (
       SELECT d.user_id,
-             CAST(CASE WHEN (d.user_id * 2654435761) % 4294967296
+             CAST(CASE WHEN ((d.user_id % 1000000007) * 2654435761) % 4294967296
                             >= 2147483648 THEN 1 ELSE 0 END AS BIGINT)
                AS arm,
              CASE WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS s1,
@@ -140,7 +140,7 @@ def events_funnel_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t3, "user_id", "left")
         .select(
             (
-                ((F.col("user_id") * 2654435761) % 4294967296 >= 2147483648)
+                (((F.col("user_id") % 1000000007) * 2654435761) % 4294967296 >= 2147483648)
                 .cast("bigint")
             ).alias("arm"),
             F.when(F.col("tv").isNotNull(), 1).otherwise(0).alias("s1"),

@@ -813,7 +813,7 @@ def llm_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH split AS (
       SELECT doc_id, text, lang,
-             (doc_id * {_K}) % {_MOD} < {_TRAIN_LT} AS is_train
+             ((doc_id % 1000000007) * {_K}) % {_MOD} < {_TRAIN_LT} AS is_train
       FROM documents
     ),
     trtok AS (SELECT unnest(string_split(text, ' ')) AS tok
@@ -859,7 +859,7 @@ def llm_eval_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any parallelism."""
     prep(spark)
     d = table(spark, sf_dir, "documents")
-    is_train = (F.col("doc_id") * _K) % _MOD < _TRAIN_LT
+    is_train = ((F.col("doc_id") % 1000000007) * _K) % _MOD < _TRAIN_LT
     split = d.select("doc_id", "text", "lang", is_train.alias("is_train"))
     trtok = split.filter("is_train").select(
         F.explode(F.split("text", " ")).alias("tok")
@@ -916,7 +916,7 @@ def llm_eval_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shard_manifest",
     oracle=f"""
     WITH assigned AS (
-      SELECT CAST((doc_id * {_K}) % {_MOD} % {_SHARDS} AS BIGINT) AS shard,
+      SELECT CAST(((doc_id % 1000000007) * {_K}) % {_MOD} % {_SHARDS} AS BIGINT) AS shard,
              n_chars,
              len(string_split(text, ' ')) AS n_tok
       FROM documents
@@ -947,7 +947,7 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     d = table(spark, sf_dir, "documents")
     assigned = d.select(
-        ((F.col("doc_id") * _K) % _MOD % _SHARDS).cast("bigint").alias("shard"),
+        (((F.col("doc_id") % 1000000007) * _K) % _MOD % _SHARDS).cast("bigint").alias("shard"),
         "n_chars",
         F.size(F.split("text", " ")).alias("n_tok"),
     )

@@ -508,7 +508,7 @@ def _cov_cte(n: int, side: str) -> str:
     "llm_ngram_coverage",
     oracle=f"""
     WITH split AS (
-      SELECT text, (doc_id * {_K}) % {_MOD} < {_TRAIN_LT} AS is_train
+      SELECT text, ((doc_id % 1000000007) * {_K}) % {_MOD} < {_TRAIN_LT} AS is_train
       FROM documents
     ),
     tr1 AS ({_cov_cte(1, "train")}), te1 AS ({_cov_cte(1, "test")}),
@@ -547,7 +547,7 @@ def llm_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_framework_spark.operators.textops import shingles
 
     d = table(spark, sf_dir, "documents")
-    is_train = (F.col("doc_id") * _K) % _MOD < _TRAIN_LT
+    is_train = ((F.col("doc_id") % 1000000007) * _K) % _MOD < _TRAIN_LT
     split = d.select(
         F.split("text", " ").alias("l"), is_train.alias("is_train")
     )

@@ -540,8 +540,11 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     pref = orders.join(F.broadcast(passed), "o_custkey", "left_semi")
+    # customer scales with SF — no forced broadcast; AQE picks BHJ at
+    # small scale and falls back to a shuffle join when it outgrows
+    # the threshold
     joined = pref.join(
-        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        cust.select("c_custkey", "c_mktsegment"),
         pref.o_custkey == F.col("c_custkey"),
     )
     return joined.groupBy("c_mktsegment").agg(

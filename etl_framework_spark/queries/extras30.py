@@ -40,7 +40,7 @@ _CMS_TOP2 = 20
     oracle=f"""
     WITH tagged AS (
       SELECT DISTINCT user_id,
-             CAST(CASE WHEN (user_id * 2654435761) % 4294967296
+             CAST(CASE WHEN ((user_id % 1000000007) * 2654435761) % 4294967296
                        >= 2147483648 THEN 1 ELSE 0 END AS INT) AS arm
       FROM events
     ),
@@ -77,7 +77,7 @@ def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     arm = (
         F.when(
-            F.pmod(F.col("user_id") * 2654435761, F.lit(4294967296))
+            F.pmod((F.col("user_id") % 1000000007) * 2654435761, F.lit(4294967296))
             >= 2147483648,
             1,
         )

@@ -120,7 +120,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH arms AS (
       SELECT date_trunc('day', ts) AS day,
-             CAST(CASE WHEN (user_id * {_HK}) % 4294967296 >= 2147483648
+             CAST(CASE WHEN ((user_id % 1000000007) * {_HK}) % 4294967296 >= 2147483648
                   THEN 1 ELSE 0 END AS INT) AS arm,
              CAST(event_type = 'purchase' AS INT) AS conv
       FROM events
@@ -171,7 +171,7 @@ def stats_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms = e.select(
         F.date_trunc("day", "ts").alias("day"),
         (
-            F.pmod(F.col("user_id") * _HK, F.lit(4294967296)) >= 2147483648
+            F.pmod((F.col("user_id") % 1000000007) * _HK, F.lit(4294967296)) >= 2147483648
         )
         .cast("int")
         .alias("arm"),

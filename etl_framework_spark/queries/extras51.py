@@ -93,7 +93,7 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     pt = table(spark, sf_dir, "part")
     j = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.count(F.lit(1)).cast("double").alias("n"),
@@ -189,7 +189,7 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("c_acctbal").alias("bal")
     )
     op = (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        od.join(cu, od.o_custkey == cu.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nk"))
         .agg(F.avg("o_totalprice").alias("price"))
     )

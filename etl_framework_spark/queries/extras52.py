@@ -185,7 +185,7 @@ def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     pt = table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     daily = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("p_size").alias("psize"),

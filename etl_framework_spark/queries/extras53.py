@@ -208,7 +208,7 @@ def stats_qq_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH keyed AS (
       SELECT doc_id, source, n_chars,
-             pow(((doc_id * 2654435761) % 1000000007 + 1)
+             pow((((doc_id % 1000000007) * 2654435761) % 1000000007 + 1)
                  / 1000000008.0,
                  1.0 / n_chars) AS skey
       FROM documents
@@ -237,7 +237,7 @@ def mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin)."""
     prep(spark)
     docs = table(spark, sf_dir, "documents")
-    u = ((F.col("doc_id") * 2654435761) % 1000000007 + 1) / 1000000008.0
+    u = (((F.col("doc_id") % 1000000007) * 2654435761) % 1000000007 + 1) / 1000000008.0
     keyed = docs.select(
         "doc_id",
         "source",

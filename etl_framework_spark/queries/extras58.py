@@ -155,7 +155,7 @@ def _hrw_list_sql(n: int) -> str:
     # degenerates to the last shard for every key.
     return (
         f"list_transform(range(0, {n}), "
-        f"s -> ((doc_id * 2654435761 + 7) % {_HASH_P})"
+        f"s -> (((doc_id % 1000000007) * 2654435761 + 7) % {_HASH_P})"
         f" * (s * 40503 + 12345) % {_HASH_P})"
     )
 
@@ -200,7 +200,7 @@ def shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     def hl(n: int):
         return F.array(
             *[
-                ((F.col("doc_id") * 2654435761 + 7) % _HASH_P)
+                (((F.col("doc_id") % 1000000007) * 2654435761 + 7) % _HASH_P)
                 * (s * 40503 + 12345)
                 % _HASH_P
                 for s in range(n)

@@ -150,7 +150,7 @@ def stats_deming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("c_acctbal").alias("x")
     )
     op = (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        od.join(cu, od.o_custkey == cu.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nk"))
         .agg((F.avg("o_totalprice") / 100.0).alias("y"))
     )

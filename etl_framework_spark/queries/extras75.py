@@ -81,7 +81,7 @@ def sales_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     pt = table(spark, sf_dir, "part")
     daily = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.date_trunc("day", F.col("l_shipdate")).alias("day"),

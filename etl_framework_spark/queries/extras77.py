@@ -163,7 +163,7 @@ def vec_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     perms AS (
       SELECT b.value, g.b AS rep,
-             ((b.event_id * 2654435761 + 11) % {_HASH_P})
+             (((b.event_id % 1000000007) * 2654435761 + 11) % {_HASH_P})
                * (g.b * 40503 + 12345) % {_HASH_P}
                / {float(_HASH_P)}
                < (SELECT p_wkend FROM obs) AS fake_wkend
@@ -223,7 +223,7 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             "rep",
             (
-                ((F.col("event_id") * 2654435761 + 11) % _HASH_P)
+                (((F.col("event_id") % 1000000007) * 2654435761 + 11) % _HASH_P)
                 * (F.col("rep") * 40503 + 12345)
                 % _HASH_P
                 / float(_HASH_P)

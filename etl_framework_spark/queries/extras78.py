@@ -129,7 +129,7 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH h AS (
       SELECT date_trunc('day', ts) AS day,
-             (event_id * 2654435761 + user_id * 40503
+             ((event_id % 1000000007) * 2654435761 + user_id * 40503
               + CAST(floor(value * 100) AS BIGINT)) % {_HASH_P} AS hv
       FROM events
     )
@@ -155,7 +155,7 @@ def dq_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     ev = table(spark, sf_dir, "events")
     hv = (
-        F.col("event_id") * 2654435761
+        (F.col("event_id") % 1000000007) * 2654435761
         + F.col("user_id") * 40503
         + F.floor(F.col("value") * 100).cast("bigint")
     ) % _HASH_P

@@ -283,7 +283,7 @@ def sales_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = table(spark, sf_dir, "part")
     ym = F.date_format("l_shipdate", "yyyy-MM")
     m = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .filter(ym.isin(_M1, _M2))
         .groupBy(F.col("p_brand").alias("brand"), ym.alias("ym"))
         .agg(

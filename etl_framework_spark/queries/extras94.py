@@ -107,7 +107,7 @@ def ts_cointegration_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").isin(_BRAND_A, _BRAND_B)
     )
     daily = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .groupBy(F.col("l_shipdate").cast("date").alias("day"))
         .agg(
             F.sum(

@@ -37,7 +37,7 @@ from etl_framework_spark.session import prep
     oracle="""
     WITH u AS (
       SELECT user_id,
-             CAST(CASE WHEN (user_id * 2654435761) % 4294967296
+             CAST(CASE WHEN ((user_id % 1000000007) * 2654435761) % 4294967296
                             >= 2147483648 THEN 1 ELSE 0 END AS INT) AS arm,
              CAST(count(*) AS BIGINT) AS activity,
              CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -103,7 +103,7 @@ def events_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "*",
         (
-            ((F.col("user_id") * 2654435761) % 4294967296 >= 2147483648)
+            (((F.col("user_id") % 1000000007) * 2654435761) % 4294967296 >= 2147483648)
             .cast("int")
         ).alias("arm"),
     )

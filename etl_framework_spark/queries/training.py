@@ -40,7 +40,7 @@ _TRAIN_LT = 3865470566  # floor(0.9 * 2^32)
     "train_split",
     oracle=f"""
     SELECT lang,
-           CASE WHEN (doc_id * {_K}) % {_MOD} < {_TRAIN_LT}
+           CASE WHEN ((doc_id % 1000000007) * {_K}) % {_MOD} < {_TRAIN_LT}
                 THEN 'train' ELSE 'test' END AS split,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -282,7 +282,7 @@ _MIX_RATES = {"en": 0.5, "es": 0.8, "de": 0.9, "fr": 0.7, "zh": 1.0}
            CAST(count(*) AS BIGINT) AS n_kept,
            CAST(sum(n_chars) AS BIGINT) AS kept_chars
     FROM documents
-    WHERE (doc_id * {_K}) % {_MOD}
+    WHERE ((doc_id % 1000000007) * {_K}) % {_MOD}
           < CAST((CASE lang
                     WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.8 WHEN 'de' THEN 0.9
                     WHEN 'fr' THEN 0.7 ELSE 1.0 END) * {_MOD} AS BIGINT)
@@ -326,7 +326,7 @@ _STRAT_N = 40  # per-language subset size
     SELECT doc_id, lang,
            CAST(row_number() OVER (
                PARTITION BY lang
-               ORDER BY (doc_id * {_K}) % {_MOD}, doc_id) AS INT) AS pick_rank
+               ORDER BY ((doc_id % 1000000007) * {_K}) % {_MOD}, doc_id) AS INT) AS pick_rank
     FROM documents
     QUALIFY pick_rank <= {_STRAT_N}
     """,

@@ -46,3 +46,17 @@ def test_head_oracle_coverage() -> None:
             assert key not in ORACLES or ORACLES.get(key) is None
         else:
             assert ORACLES.get(key), f"head key {key} lost its oracle"
+
+
+def test_readme_counts_match_registry() -> None:
+    """README's headline key/oracle counts must track the registry
+    (ADVICE r5: stale counts shipped twice). The claim line is
+    '(current: N contract keys / M exact oracles)'."""
+    n_keys = len(QUERIES)
+    n_oracles = sum(1 for k in QUERIES if ORACLES.get(k))
+    with open("/root/repo/README.md") as f:
+        readme = f.read()
+    assert f"{n_keys} contract keys / {n_oracles} exact oracles" in readme, (
+        f"README count line stale: registry has {n_keys} keys / "
+        f"{n_oracles} oracles"
+    )
