@@ -7,6 +7,17 @@ from etl_framework_spark.plans.inspect import (
     capture_plans,
     assert_in_plan,
     normalize_plan,
+    golden_form,
+    plan_skeleton,
+    SKELETON_ONLY_KEYS,
 )
 
-__all__ = ["explain_str", "capture_plans", "assert_in_plan", "normalize_plan"]
+__all__ = [
+    "explain_str",
+    "capture_plans",
+    "assert_in_plan",
+    "normalize_plan",
+    "golden_form",
+    "plan_skeleton",
+    "SKELETON_ONLY_KEYS",
+]

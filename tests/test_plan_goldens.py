@@ -19,7 +19,7 @@ import os
 import pytest
 
 import __spark_entry__ as ent
-from etl_framework_spark.plans import explain_str, normalize_plan
+from etl_framework_spark.plans import explain_str, golden_form
 
 PLANS_DIR = "/root/repo/artifacts/plans"
 SF_GOLDEN = "/root/testdata/sf0.01"  # goldens are captured at sf0.01
@@ -42,7 +42,10 @@ def test_plan_matches_golden(spark, key: str) -> None:
     assert os.path.exists(golden_path), f"no golden for {key}; run capture_plans"
     with open(golden_path) as f:
         golden = f.read()
-    fresh = normalize_plan(explain_str(ent.queries()[key](spark, SF_GOLDEN)))
+    # cache substitution from earlier tests' persists would otherwise
+    # inject InMemoryTableScan nodes into this key's plan
+    spark.catalog.clearCache()
+    fresh = golden_form(key, explain_str(ent.queries()[key](spark, SF_GOLDEN)))
     assert fresh == golden, (
         f"physical plan for {key} changed vs artifacts/plans/{key}.txt — "
         f"if intentional, re-snapshot with tools/capture_plans.py --only {key}"
