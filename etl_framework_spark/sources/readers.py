@@ -4,7 +4,8 @@ The reference family declares sources/sinks in job configs (CSV/JSON
 files, JDBC, Hive) and delegates IO to Spark's DataSource API; this is
 the same surface as spec dicts:
 
-    {"format": "parquet"|"csv"|"json"|"jdbc"|"table", "path"|"url"|"name": ...,
+    {"format": "parquet"|"csv"|"json"|"orc"|"jdbc"|"table"|"kafka"|"docstore",
+     "path"|"url"|"name": ...,
      "schema": "a INT, b STRING",   # optional DDL (schema-on-read)
      "options": {...},              # passed through to the reader
      "stream": true}                # readStream instead of read
@@ -20,8 +21,126 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _FILE_FORMATS = {"parquet", "csv", "json", "orc"}
+
+# ---------------------------------------------------------------------------
+# Kafka (Structured Streaming's canonical message-bus source/sink).
+#
+# The environment ships no Kafka broker and no spark-sql-kafka connector
+# jar, so .load()/.start() cannot run here (SURVEY.md §7). The spec
+# mapping below is still the full production surface: it resolves the
+# reference-family config vocabulary (bootstrap servers, topic
+# subscription, offsets) into the exact option dict Spark's kafka
+# DataSource takes, and the value-decoding step is a plain DataFrame
+# transform that is tested against kafka-SHAPED data. On a real
+# cluster the only extra requirement is the connector package on the
+# classpath (--packages org.apache.spark:spark-sql-kafka-0-10_2.13).
+# ---------------------------------------------------------------------------
+
+_KAFKA_SUBSCRIBE_KEYS = {
+    "subscribe": "subscribe",
+    "subscribe_pattern": "subscribePattern",
+    "assign": "assign",
+}
+
+
+def kafka_source_options(spec: dict[str, Any]) -> dict[str, str]:
+    """Resolve a kafka source spec into Spark DataSource options.
+
+    Spec vocabulary (snake_case, matching the rest of the spec surface):
+      bootstrap_servers: "host:9092,host2:9092"        (required)
+      subscribe | subscribe_pattern | assign: ...      (exactly one)
+      starting_offsets / ending_offsets: "earliest" | "latest" | json
+      max_offsets_per_trigger: int   (per-micro-batch rate cap — the
+          knob that keeps state/shuffle sizes bounded at cluster scale)
+      fail_on_data_loss: bool
+      options: {...}  raw passthrough (wins over the mapped keys)
+    """
+    if "bootstrap_servers" not in spec:
+        raise ValueError("kafka source needs 'bootstrap_servers'")
+    sub = [k for k in _KAFKA_SUBSCRIBE_KEYS if k in spec]
+    if len(sub) != 1:
+        raise ValueError(
+            "kafka source needs exactly one of "
+            f"{sorted(_KAFKA_SUBSCRIBE_KEYS)}, got {sub or 'none'}"
+        )
+    opts: dict[str, str] = {
+        "kafka.bootstrap.servers": str(spec["bootstrap_servers"]),
+        _KAFKA_SUBSCRIBE_KEYS[sub[0]]: str(spec[sub[0]]),
+    }
+    if "starting_offsets" in spec:
+        opts["startingOffsets"] = str(spec["starting_offsets"])
+    if "ending_offsets" in spec:
+        opts["endingOffsets"] = str(spec["ending_offsets"])
+    if "max_offsets_per_trigger" in spec:
+        opts["maxOffsetsPerTrigger"] = str(spec["max_offsets_per_trigger"])
+    if "fail_on_data_loss" in spec:
+        opts["failOnDataLoss"] = str(bool(spec["fail_on_data_loss"])).lower()
+    for k, v in dict(spec.get("options", {})).items():
+        opts[str(k)] = str(v)
+    return opts
+
+
+def decode_kafka_value(
+    df: DataFrame,
+    schema: str | None = None,
+    value_format: str = "string",
+    keep_metadata: bool = True,
+) -> DataFrame:
+    """Decode the kafka wire columns (key/value binary + metadata) into
+    typed columns — the transform every kafka pipeline runs first.
+
+    value_format: "string" (cast only), "json" (from_json with the
+    given DDL schema, fields hoisted to top level). Keeps topic/
+    partition/offset/timestamp when keep_metadata (offset is the
+    natural dedup/ordering key downstream). Works on any DataFrame
+    with kafka's output shape, batch or streaming — per-row expression
+    only, no shuffle, fully pushdown-transparent.
+    """
+    meta = [c for c in ("topic", "partition", "offset", "timestamp") if c in df.columns]
+    out = df.withColumn("key", F.col("key").cast("string"))
+    if value_format == "string":
+        out = out.withColumn("value", F.col("value").cast("string"))
+        cols = ["key", "value"]
+    elif value_format == "json":
+        if not schema:
+            raise ValueError("value_format='json' needs a DDL 'schema'")
+        out = out.withColumn(
+            "value", F.from_json(F.col("value").cast("string"), schema)
+        )
+        cols = ["key", "value.*"]
+    else:
+        raise ValueError(f"unsupported value_format {value_format!r}")
+    return out.select(*cols, *(meta if keep_metadata else []))
+
+
+def kafka_sink_options(spec: dict[str, Any]) -> dict[str, str]:
+    """Resolve a kafka sink spec (bootstrap_servers + topic)."""
+    missing = {"bootstrap_servers", "topic"} - set(spec)
+    if missing:
+        raise ValueError(f"kafka sink missing {sorted(missing)}")
+    opts = {
+        "kafka.bootstrap.servers": str(spec["bootstrap_servers"]),
+        "topic": str(spec["topic"]),
+    }
+    for k, v in dict(spec.get("options", {})).items():
+        opts[str(k)] = str(v)
+    return opts
+
+
+def encode_kafka_value(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Shape a DataFrame for the kafka sink: all non-key columns packed
+    into a JSON 'value' string, optional 'key' column for partition
+    affinity (same key → same kafka partition → per-key ordering
+    downstream, the property CDC consumers rely on)."""
+    value_cols = [c for c in df.columns if c != key]
+    out = df.select(
+        *( [F.col(key).cast("string").alias("key")] if key else [] ),
+        F.to_json(F.struct(*value_cols)).alias("value"),
+    )
+    return out
 
 
 def read_source(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
@@ -49,6 +168,27 @@ def read_source(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
         if not spark.catalog.tableExists(spec["name"]):
             raise ValueError(f"table source: {spec['name']!r} not in catalog")
         return spark.read.options(**options).table(spec["name"])
+    if fmt == "kafka":
+        opts = kafka_source_options(spec)
+        reader = (
+            spark.readStream if spec.get("stream", True) else spark.read
+        ).format("kafka").options(**opts)
+        try:
+            df = reader.load()
+        except Exception as e:  # connector jar absent in this env
+            raise RuntimeError(
+                "kafka source spec resolved OK but the spark-sql-kafka "
+                "connector is not on the classpath (add --packages "
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-ver>); "
+                f"underlying error: {e}"
+            ) from e
+        if spec.get("value_format") or spec.get("schema"):
+            df = decode_kafka_value(
+                df,
+                schema=spec.get("schema"),
+                value_format=spec.get("value_format", "string"),
+            )
+        return df
     if fmt == "docstore":  # custom Python DataSource connector
         from etl_framework_spark.sources.docstore import register
 
@@ -103,6 +243,18 @@ def write_sink(df: DataFrame, spec: dict[str, Any]) -> None:
         for k, v in dict(spec.get("options", {})).items():
             writer = writer.option(k, v)
         writer.save()
+        return
+    if fmt == "kafka":
+        opts = kafka_sink_options(spec)
+        out = encode_kafka_value(df, key=spec.get("key"))
+        try:
+            out.write.format("kafka").options(**opts).save()
+        except Exception as e:  # connector jar absent in this env
+            raise RuntimeError(
+                "kafka sink spec resolved OK but the spark-sql-kafka "
+                "connector is not on the classpath; underlying error: "
+                f"{e}"
+            ) from e
         return
     if fmt == "docstore":
         from etl_framework_spark.sources.docstore import register
