@@ -19,9 +19,17 @@ def test_volume_discount_curve(spark):
 def test_hubness_fields(spark):
     r = ent.queries()["vec_hubness"](spark, SF_SMALL).collect()[0]
     assert r.n_vecs > 0
-    # mean k-occurrence is exactly k (every point emits k votes)
-    assert abs(r.mean_k_occ - 10.0) < 1e-3
-    assert r.max_k_occ >= 10
+    # k-occurrence is estimated from the 1-in-5 anchor sample (the
+    # round-6 bounded rewrite): total votes = k * n_anchors, so the
+    # mean over ALL vectors is k * n_anchors / n, not k
+    from etl_framework_spark.catalog import table
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    n_anchors = emb.filter("vec_id % 5 = 0").count()
+    expected_mean = 10.0 * n_anchors / n
+    assert abs(r.mean_k_occ - expected_mean) < 1e-3
+    assert r.max_k_occ >= 1
     assert 0 <= r.n_antihubs < r.n_vecs
     # skewness is finite and positive-ish in high-dim spaces
     assert -5.0 < r.k_occ_skewness < 50.0
