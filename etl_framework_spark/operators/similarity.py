@@ -139,3 +139,75 @@ def blocked_cosine_pairs(df, block_col: str, tau: float):
     return df.groupBy(block_col).applyInPandas(
         fn, schema=f"{block_col} int, id_a long, id_b long, cos_sim double"
     )
+
+
+_MAX_ANCHOR_COLLECT = 100_000
+
+
+def anchor_knn(cand_df, anchor_df, k: int, quant: float,
+               id_col: str = "vec_id", vec_col: str = "embedding"):
+    """k nearest candidates per anchor by quantized squared-L2.
+
+    The scale shape for fixed-size anchor sets (TwoNN / hubness
+    estimators sample a few thousand anchors regardless of corpus
+    size): the anchor matrix is collected once (guarded, M·D·8 B) and
+    shipped in the task closure; candidates stream through
+    mapInPandas, each Arrow batch computing a (batch × M) distance
+    slab with a dimension-SEQUENTIAL numpy fold — acc starts at the
+    first diff² and adds one dimension's slab at a time, the exact
+    IEEE-754 add order of the JVM
+    ``aggregate(slice(diffs,2,..), element_at(diffs,1), +)`` fold and
+    the DuckDB list_reduce oracle, so quantized distances are
+    bit-identical while running ~50× faster than per-row interpreted
+    lambdas. Each batch emits only its local top-k per anchor
+    (i ≠ j pairs masked), so the global re-rank sees ≤ batches·M·k
+    rows instead of M·N pairs. No shuffle until that tiny re-rank.
+
+    Output columns: i (anchor id), j (candidate id), qd2
+    (floor(d2·quant + 0.5) as bigint). Callers re-rank globally with
+    row_number over i ordered by (qd2, j).
+    """
+    import pandas as pd
+
+    rows = anchor_df.select(id_col, vec_col).limit(_MAX_ANCHOR_COLLECT + 1).collect()
+    if len(rows) > _MAX_ANCHOR_COLLECT:
+        raise ValueError(
+            f"anchor_knn: anchor set exceeds {_MAX_ANCHOR_COLLECT}; "
+            "grow the sampling modulus so the anchor count stays fixed"
+        )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    A = np.array([r[1] for r in rows], dtype=np.float64)  # (M, D)
+    m, dims = A.shape
+    sentinel = np.iinfo(np.int64).max
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            E = np.array(list(pdf[vec_col]), dtype=np.float64)  # (B, D)
+            j = pdf[id_col].to_numpy().astype(np.int64)
+            acc = (E[:, 0, None] - A[None, :, 0]) ** 2
+            for d in range(1, dims):  # strict fold, slab-vectorized
+                acc += (E[:, d, None] - A[None, :, d]) ** 2
+            q = np.floor(acc * quant + 0.5).astype(np.int64)  # (B, M)
+            q[j[:, None] == ids[None, :]] = sentinel  # exclude i == j
+            kk = min(k, len(pdf))
+            out_i, out_j, out_q = [], [], []
+            for col_idx in range(m):
+                col = q[:, col_idx]
+                top = np.lexsort((j, col))[:kk]  # ties break on j
+                top = top[col[top] != sentinel]
+                out_i.append(np.full(len(top), ids[col_idx], dtype=np.int64))
+                out_j.append(j[top])
+                out_q.append(col[top])
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(out_i),
+                    "j": np.concatenate(out_j),
+                    "qd2": np.concatenate(out_q),
+                }
+            )
+
+    return cand_df.select(id_col, vec_col).mapInPandas(
+        gen, "i bigint, j bigint, qd2 bigint"
+    )

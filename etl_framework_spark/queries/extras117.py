@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_framework_spark.catalog import table
+from etl_framework_spark.operators.similarity import anchor_knn
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
 
@@ -160,34 +161,18 @@ def vec_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensionality driver)."""
     prep(spark)
     emb = table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    e = emb.select("vec_id", "embedding")
+    # anchor matrix collected once (bounded), candidates stream through
+    # a slab-fold mapInPandas emitting batch-local top-k per anchor —
+    # see operators/similarity.anchor_knn for the bit-parity argument
+    local = anchor_knn(
+        e.repartition(32),
+        e.filter(F.col("vec_id") % 5 == 0),
+        k=_HUB_K,
+        quant=1e6,
     )
-    # the i<>j pair join is a nested-loop whose output inherits the
-    # LEFT side's partitioning — spread it so all cores fold pairs
-    a = (
-        e.filter(F.col("vec_id") % 5 == 0)
-        .select(F.col("vec_id").alias("i"), F.col("v").alias("va"))
-        .repartition(32, "i")
-    )
-    b = e.select(F.col("vec_id").alias("j"), F.col("v").alias("vb"))
-    # zip_with yields the same diffs array (same element order ->
-    # bit-exact same fold) without sequence() + element_at per lane
-    diffs = F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y))
-    d2 = F.aggregate(
-        F.slice(diffs, 2, F.size(diffs) - 1),
-        F.element_at(diffs, 1),
-        lambda x, y: x + y,
-    )
-    pairs = a.join(b, F.col("i") != F.col("j")).select(
-        "i",
-        (F.floor(d2 * 1000000.0 + 0.5) * 100000 + F.col("j")).alias("dkey"),
-    )
-    topk = pairs.select(
-        "i",
-        (F.col("dkey") % 100000).alias("j"),
-        F.row_number().over(W.partitionBy("i").orderBy("dkey")).alias("rk"),
+    topk = local.withColumn(
+        "rk", F.row_number().over(W.partitionBy("i").orderBy("qd2", "j"))
     ).filter(F.col("rk") <= _HUB_K)
     occ = topk.groupBy("j").agg(F.count(F.lit(1)).cast("double").alias("k_occ"))
     all_occ = e.select(F.col("vec_id").alias("j")).join(occ, "j", "left").select(

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_framework_spark.catalog import table
+from etl_framework_spark.operators.similarity import anchor_knn
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
 
@@ -207,32 +208,23 @@ def vec_two_nn_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-diagnostics tests."""
     prep(spark)
     emb = table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    v = emb.select("vec_id", "embedding")
+    # anchor matrix collected once (bounded), candidates stream through
+    # a slab-fold mapInPandas emitting batch-local top-2 per anchor —
+    # see operators/similarity.anchor_knn for the bit-parity argument.
+    # qd2/1e9 reproduces the oracle's floor(d2*1e9 + 0.5)/1e9 exactly
+    # (int64 → double is exact below 2^53; the division is one IEEE op)
+    local = anchor_knn(
+        v.repartition(32),
+        v.filter(F.col("vec_id") % 5 == 0),
+        k=2,
+        quant=1e9,
     )
-    # nested-loop pair join inherits the left side's partitioning —
-    # spread the anchors so every core folds its share of pairs
-    a = (
-        v.filter(F.col("vec_id") % 5 == 0)
-        .select(F.col("vec_id").alias("i"), F.col("e").alias("ea"))
-        .repartition(32, "i")
-    )
-    b = v.select(F.col("vec_id").alias("j"), F.col("e").alias("eb"))
-    # zip_with yields the same diffs array (same element order ->
-    # bit-exact same fold) without sequence() + element_at per lane
-    diffs = F.zip_with("ea", "eb", lambda x, y: (x - y) * (x - y))
-    d2 = F.aggregate(
-        F.slice(diffs, 2, F.size(diffs) - 1),
-        F.element_at(diffs, 1),
-        lambda x, y: x + y,
-    )
-    pairs = a.join(b, F.col("i") != F.col("j")).select(
+    ranked = local.select(
         "i",
         "j",
-        (F.floor(d2 * 1000000000.0 + 0.5) / 1000000000.0).alias("d2"),
-    )
-    ranked = pairs.withColumn(
+        (F.col("qd2") / 1000000000.0).alias("d2"),
+    ).withColumn(
         "rn", F.row_number().over(W.partitionBy("i").orderBy("d2", "j"))
     ).filter(F.col("rn") <= 2)
     two = ranked.groupBy("i").agg(
