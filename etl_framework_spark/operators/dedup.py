@@ -217,3 +217,53 @@ def blocked_jaccard_pairs(toksets: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def shingles3(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct 3-gram word shingles per document, Arrow-batched.
+
+    Output: (id_col, n bigint, s string) — one row per DISTINCT
+    shingle, with n = the doc's distinct-shingle count repeated on
+    every row (so callers get the exploded side and the per-doc size
+    from ONE pass). Docs with fewer than 3 tokens emit nothing.
+
+    Semantics are byte-identical to the declarative form
+    ``array_distinct(transform(sequence(1, size-2), i ->
+    concat_ws(' ', tok[i], tok[i+1], tok[i+2])))`` over
+    ``split(text, ' ')`` and to DuckDB's string_split equivalent:
+    Python ``text.split(' ')`` splits on each single space keeping
+    empties, exactly like both engines. The batched kernel exists
+    because Catalyst evaluates nested higher-order lambdas
+    (transform + 3×element_at + concat_ws) interpreted, ~16 µs per
+    shingle — measured 4.3 s per pass at sf0.1 vs ~0.1 s here. It is
+    embarrassingly parallel: one scan, no shuffle, per-batch memory
+    bounded by the batch's shingle count.
+    """
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            ids, ns, shs = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                tk = (text or "").split(" ")
+                if len(tk) < 3:
+                    continue
+                uniq = list(
+                    dict.fromkeys(
+                        " ".join(tk[i : i + 3]) for i in range(len(tk) - 2)
+                    )
+                )
+                ids.extend([did] * len(uniq))
+                ns.extend([len(uniq)] * len(uniq))
+                shs.extend(uniq)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n": pd.Series(ns, dtype="int64"),
+                    "s": pd.Series(shs, dtype="object"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} bigint, n bigint, s string"
+    )
