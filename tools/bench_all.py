@@ -1,7 +1,7 @@
 """Time EVERY contract query at a scale factor (default sf0.1) with
 the noop sink and write artifacts/bench_all.json — the self-measured
-per-operator baseline SURVEY §6 calls for. Two runs per key, min
-reported (JIT/warmup noise dominates single local runs).
+per-operator baseline SURVEY §6 calls for. One untimed warmup then
+median of 3 per key (JIT/GC noise dominates single local runs).
 
 Usage: python tools/bench_all.py [--sf DIR] [--out PATH]
 """
@@ -34,12 +34,16 @@ def main() -> None:
         qs[key](spark, args.sf).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    run("agg_groupby")  # warmup, untimed
+    run("agg_groupby")  # session warmup, untimed
     times: dict[str, float] = {}
     failures: dict[str, str] = {}
     for key in sorted(qs):
         try:
-            times[key] = round(min(run(key), run(key)), 3)
+            # same methodology as bench.py: one untimed warmup (plan
+            # compile + codegen), then median of 3 — min-of-2 was still
+            # showing multi-second GC-pause outliers on sub-second keys
+            run(key)
+            times[key] = round(sorted(run(key) for _ in range(3))[1], 3)
         except Exception as e:  # noqa: BLE001 — record, keep sweeping
             failures[key] = str(e)[:200]
         print(f"{key:28s} {times.get(key, 'FAIL')}", flush=True)
