@@ -3,15 +3,20 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Execution is forced with the noop sink (full plan runs, nothing is
-collected to the driver). Methodology (round 6): each query gets one
-UNTIMED warmup run (the first execution of a plan pays whole-stage
-codegen + JIT compilation — measured 2-6x the steady state, e.g.
-fn_string 1.36 s cold vs 0.23 s warm), then the MEDIAN of 3 timed
-runs is reported — the steady-state throughput a long-running
-cluster job actually sees, robust to one-off GC stalls.
-(Registry import is 0.85 s for 612 keys, measured round 6 — it runs
-once before any timing starts and is not per-query overhead; the
-round-5 +10% drift was cold-run sampling noise, not a plan change.)
+collected to the driver). Methodology (round 6): each query gets TWO
+untimed warmup runs — the first pays plan compile + whole-stage
+codegen (measured 2-6x steady state, e.g. fn_string 1.36 s cold vs
+0.23 s warm), the second gives HotSpot C2 enough invocations to
+finish tiered compilation — then the MEDIAN of 5 timed runs is
+reported: the steady-state throughput a long-running cluster job
+actually sees. With 1 warmup + median-of-3, whether C2 landed inside
+the timed window was per-process luck: same commit, same idle
+machine, back-to-back processes measured 5.67 s vs 7.59 s headline
+(one slow process put join_asof at a sustained 1.15 s vs 0.43 s
+steady). 2 warmups + median-of-5 reproduces to ~1%: 5.736 / 5.729 s
+consecutive. Registry import is ~0.9 s for 612 keys, once, before
+any timing starts — not per-query overhead; the round-5 "+10% drift"
+was exactly this cold-run sampling noise, not a plan change.
 """
 
 from __future__ import annotations
@@ -56,9 +61,14 @@ def main() -> None:
     run("agg_groupby")  # session warmup, untimed
     times: dict[str, float] = {}
     for key in HEADLINE:
-        run(key)  # per-query codegen/JIT warmup, untimed
-        samples = sorted(run(key) for _ in range(3))
-        times[key] = round(samples[1], 3)  # median of 3 steady-state
+        # two untimed warmups: the first compiles the plan + codegen,
+        # the second gives HotSpot C2 enough invocations to finish
+        # tiering — without it, whether C2 lands inside or outside the
+        # timed runs is per-process luck (measured ±10% headline spread)
+        run(key)
+        run(key)
+        samples = sorted(run(key) for _ in range(5))
+        times[key] = round(samples[2], 3)  # median of 5 steady-state
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
