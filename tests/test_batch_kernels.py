@@ -1,0 +1,120 @@
+"""Direct unit tests for the round-6 Arrow-batched kernels.
+
+Both kernels exist purely as faster evaluations of declarative forms
+that Catalyst runs interpreted; these tests pin the bit-parity claim
+directly (kernel output == declarative output, element for element)
+independent of the oracle sweep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etl_framework_spark.catalog import table
+from etl_framework_spark.operators.dedup import shingles3
+from etl_framework_spark.operators.similarity import anchor_knn
+
+SF = "/root/testdata/sf0.001"
+
+
+def _declarative_shingles(docs):
+    toks = F.split(F.col("text"), " ")
+    return docs.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ).alias("sh"),
+    )
+
+
+def test_shingles3_matches_declarative_form(spark):
+    docs = table(spark, SF, "documents")
+    got = {
+        (r["doc_id"], r["s"])
+        for r in shingles3(docs).select("doc_id", "s").collect()
+    }
+    want = {
+        (r["doc_id"], s)
+        for r in _declarative_shingles(docs).collect()
+        for s in r["sh"]
+    }
+    assert got == want and len(got) > 0
+
+
+def test_shingles3_n_is_distinct_shingle_count(spark):
+    docs = table(spark, SF, "documents")
+    out = shingles3(docs)
+    bad = (
+        out.groupBy("doc_id", "n")
+        .agg(F.countDistinct("s").alias("k"))
+        .filter("k <> n")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_shingles3_skips_short_docs(spark):
+    two_tok = spark.createDataFrame([(1, "a b"), (2, "x y z")], "doc_id long, text string")
+    rows = shingles3(two_tok).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+    assert rows[0]["s"] == "x y z"
+
+
+def test_anchor_knn_matches_bruteforce_fold(spark):
+    emb = table(spark, SF, "embeddings").select("vec_id", "embedding")
+    anchors = emb.filter("vec_id % 7 = 0")
+    k, quant = 3, 1e6
+    local = anchor_knn(emb, anchors, k=k, quant=quant)
+    got = (
+        local.withColumn(
+            "rk", F.row_number().over(W.partitionBy("i").orderBy("qd2", "j"))
+        )
+        .filter(F.col("rk") <= k)
+        .select("i", "j", "qd2", "rk")
+    )
+    # brute force with the exact JVM fold the kernel claims parity with
+    v = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    a = v.filter("vec_id % 7 = 0").select(F.col("vec_id").alias("i"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("j"), F.col("e").alias("eb"))
+    diffs = F.zip_with("ea", "eb", lambda x, y: (x - y) * (x - y))
+    d2 = F.aggregate(
+        F.slice(diffs, 2, F.size(diffs) - 1),
+        F.element_at(diffs, 1),
+        lambda x, y: x + y,
+    )
+    want = (
+        a.join(b, F.col("i") != F.col("j"))
+        .select("i", "j", F.floor(d2 * quant + 0.5).alias("qd2"))
+        .withColumn("rk", F.row_number().over(W.partitionBy("i").orderBy("qd2", "j")))
+        .filter(F.col("rk") <= k)
+    )
+    gs = {tuple(r) for r in got.collect()}
+    ws = {tuple(r) for r in want.collect()}
+    assert gs == ws and len(gs) > 0
+
+
+def test_anchor_knn_guards_unbounded_anchor_collect(spark):
+    import pytest
+
+    import etl_framework_spark.operators.similarity as sim
+
+    emb = table(spark, SF, "embeddings").select("vec_id", "embedding")
+    old = sim._MAX_ANCHOR_COLLECT
+    sim._MAX_ANCHOR_COLLECT = 5
+    try:
+        with pytest.raises(ValueError, match="anchor set exceeds"):
+            sim.anchor_knn(emb, emb, k=2, quant=1e6)
+    finally:
+        sim._MAX_ANCHOR_COLLECT = old
