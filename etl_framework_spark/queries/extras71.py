@@ -18,7 +18,14 @@ Scale notes:
   UNROLLED peel rounds approximate it with a STATIC plan (each
   round = one degree rollup + one semi-join). The remaining-node
   curve converging is the signal; at 100 TB rounds are cheap
-  because the edge set only shrinks.
+  because the edge set only shrinks. The pair build (VERDICT r6
+  item 2) is ONE shuffle: collect_set suppliers per part (map-side
+  combined), degree-capped at {_MAX_PART_DEG} (mirrored in the
+  oracle — the graph_triangles move: at 100 TB a super-node part
+  with d suppliers would emit C(d,2) pairs, so the cap bounds the
+  blowup; TPC-H degrees are ~30 flat, so the cap is inert at test
+  scales), then pairs explode JVM-side from the sorted set — no
+  distinct shuffle, no self-join exchange.
 """
 
 from __future__ import annotations
@@ -33,6 +40,7 @@ from etl_framework_spark.session import prep
 _NBINS = 5
 _KCORE = 6
 _PEELS = 3
+_MAX_PART_DEG = 200  # super-node cap for the co-supplier pair build
 
 
 # --------------------------------------------------------------------------
@@ -168,13 +176,18 @@ def _peel_sql() -> str:
     # MATERIALIZED hints: every CTE here is referenced several times
     # downstream; without them DuckDB inlines the whole part-pair
     # self-join once PER REFERENCE (measured ~50s vs <1s).
-    sql = """
+    sql = f"""
     WITH e0raw AS MATERIALIZED (SELECT DISTINCT l_partkey AS p,
                                        l_suppkey AS s
                    FROM lineitem),
+    pdeg AS MATERIALIZED (
+      SELECT p FROM (SELECT p, count(*) AS d FROM e0raw GROUP BY p)
+      WHERE d BETWEEN 2 AND {_MAX_PART_DEG}
+    ),
     w0 AS MATERIALIZED (
       SELECT a.s AS u, b.s AS v, CAST(count(*) AS DOUBLE) AS c
       FROM e0raw a JOIN e0raw b ON a.p = b.p AND a.s < b.s
+      WHERE a.p IN (SELECT p FROM pdeg)
       GROUP BY u, v
     ),
     thr AS (SELECT quantile_cont(c, 0.9) AS t FROM w0),
@@ -220,31 +233,49 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_khop_reach, graph_assortativity)."""
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
-    e0raw = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a = e0raw.select("p", F.col("s").alias("u"))
-    b = e0raw.select("p", F.col("s").alias("v"))
+    # ONE shuffle builds the weighted graph: collect_set dedupes
+    # (part, supplier) with map-side partial sets, the degree cap
+    # drops super-node parts (mirrored in the oracle), and the sorted
+    # set explodes into u < v pairs JVM-side — no distinct exchange,
+    # no self-join. TPC-H part degree is ~30 flat at every SF, so the
+    # cap only matters on skewed real corpora, where it is the
+    # difference between O(E·d̄) and O(E·d_max).
+    g = (
+        li.groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .filter((F.size("ss") >= 2) & (F.size("ss") <= _MAX_PART_DEG))
+    )
+    pairs = g.select(F.posexplode("ss").alias("i", "u"), "ss").select(
+        "u",
+        F.explode(
+            F.slice("ss", F.col("i") + F.lit(2), F.size("ss"))
+        ).alias("v"),
+    )
     w0 = (
-        a.join(b, "p")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
+        pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
         .persist()
     )
     thr = w0.agg(F.percentile("c", 0.9).alias("t"))
-    # persist the (tiny, post-threshold) edge sets: every peel round
-    # and every per-round count re-reads them, and without a cache the
-    # whole part-pair self-join would replay once per reference
-    # coalesce(1): the post-threshold edge set is a few hundred rows —
-    # single-partition rounds avoid 32-task scheduling overhead per peel
+    # localCheckpoint (eager) the tiny post-threshold edge set and each
+    # peel round: the peel is inherently iterative, and checkpointing
+    # TRUNCATES the lineage so later rounds and the final stats fan-out
+    # scan a materialized single partition instead of dragging the
+    # broadcast-subquery chain through every action (measured: the old
+    # persist()-chain re-ran broadcast stages per action — 8.3s; this
+    # shape is ~4s at sf0.1). On a real cluster an executor loss would
+    # force recompute of a reliable checkpoint instead — acceptable for
+    # a few-hundred-row edge set.
+    # coalesce(1): single-partition rounds avoid 32-task scheduling
+    # overhead per peel.
     edges = (
         w0.crossJoin(F.broadcast(thr))
         .filter(F.col("c") > F.col("t"))
         .select("u", "v")
         .coalesce(1)
-        .persist()
+        .localCheckpoint()
     )
+    w0.unpersist()
     rounds = [edges]
     cur = edges
     for _ in range(_PEELS):
@@ -264,11 +295,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.broadcast(deg.select(F.col("n").alias("v"))), "v", "left_semi"
             )
             .select("u", "v")
-            .persist()
+            .localCheckpoint()
         )
         rounds.append(cur)
-    for e in rounds:
-        e.count()  # seal each tiny cache before the fan-out below
     outs = []
     for r, e in enumerate(rounds):
         un = e.select(F.col("u").alias("n")).unionAll(
