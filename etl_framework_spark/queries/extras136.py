@@ -150,29 +150,43 @@ def dq_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     referential tests (cf. dq_fk_orphans for the relational
     analogue, vec_label_text_alignment for the semantic layer)."""
     prep(spark)
-    docs = table(spark, sf_dir, "documents").select("doc_id")
-    emb = table(spark, sf_dir, "embeddings").select("vec_id")
-    n_docs = docs.count()
-    n_vecs = emb.count()
-    docs_wo = docs.join(
-        emb, docs.doc_id == emb.vec_id, "left_anti"
-    ).count()
-    vecs_wo = emb.join(
-        docs, emb.vec_id == docs.doc_id, "left_anti"
-    ).count()
-    data = [
-        (
-            n_docs,
-            n_vecs,
-            docs_wo,
-            vecs_wo,
-            round((n_docs - docs_wo) / n_docs, 6),
+    # ONE declarative plan (VERDICT r6 item 3 — this key was four
+    # driver-side .count() actions + createDataFrame): pre-aggregate
+    # each side by id (dup-safe — reproduces the oracle's EXISTS
+    # semantics even if ids repeat), full-outer join the two unique
+    # key sets (co-partitioned: both exchanges hash the join key), and
+    # fold everything into a single global aggregate.
+    docs = (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.col("doc_id").alias("id"))
+        .agg(F.count(F.lit(1)).alias("cd"))
+    )
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .groupBy(F.col("vec_id").alias("id"))
+        .agg(F.count(F.lit(1)).alias("ce"))
+    )
+    j = docs.join(emb, "id", "full_outer")
+    n_docs = F.sum("cd")
+    covered = F.coalesce(
+        F.sum(F.when(F.col("ce").isNotNull(), F.col("cd"))), F.lit(0)
+    )
+    return j.agg(
+        n_docs.cast("bigint").alias("n_docs"),
+        F.sum("ce").cast("bigint").alias("n_vecs"),
+        F.coalesce(
+            F.sum(F.when(F.col("ce").isNull(), F.col("cd"))), F.lit(0)
         )
-    ]
-    return spark.createDataFrame(
-        data,
-        "n_docs bigint, n_vecs bigint, docs_without_vec bigint,"
-        " vecs_without_doc bigint, embedding_coverage double",
+        .cast("bigint")
+        .alias("docs_without_vec"),
+        F.coalesce(
+            F.sum(F.when(F.col("cd").isNull(), F.col("ce"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("vecs_without_doc"),
+        F.round(covered.cast("double") / n_docs, 6).alias(
+            "embedding_coverage"
+        ),
     )
 
 
