@@ -173,7 +173,15 @@ def anchor_knn(cand_df, anchor_df, k: int, quant: float,
     if len(rows) > _MAX_ANCHOR_COLLECT:
         raise ValueError(
             f"anchor_knn: anchor set exceeds {_MAX_ANCHOR_COLLECT}; "
-            "grow the sampling modulus so the anchor count stays fixed"
+            "grow the sampling modulus so the anchor count stays fixed "
+            "(callers pin the modulus statically so their SQL oracle "
+            "matches — see the SF-ceiling note at each call site)"
+        )
+    if not rows:
+        raise ValueError(
+            "anchor_knn: anchor set is empty — the sampling predicate "
+            "matched no rows (ADVICE r6: an empty anchor matrix would "
+            "otherwise die in an opaque numpy unpack)"
         )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     A = np.array([r[1] for r in rows], dtype=np.float64)  # (M, D)
@@ -189,7 +197,19 @@ def anchor_knn(cand_df, anchor_df, k: int, quant: float,
             acc = (E[:, 0, None] - A[None, :, 0]) ** 2
             for d in range(1, dims):  # strict fold, slab-vectorized
                 acc += (E[:, d, None] - A[None, :, d]) ** 2
-            q = np.floor(acc * quant + 0.5).astype(np.int64)  # (B, M)
+            # Clip before the cast: numpy float->int64 overflow yields
+            # INT64_MIN (negative — would sort ahead of every real
+            # distance and defeat the sentinel mask), whereas the JVM
+            # floor-to-bigint this claims parity with saturates at
+            # Long.MAX. Clip to 2^63-1024, the largest float64 that is
+            # exactly representable AND below Long.MAX (float(Long.MAX)
+            # rounds UP to 2^63 and still wraps on cast) — overflowed
+            # distances rank last but stay distinct from the sentinel,
+            # so they are never silently dropped. Only reachable when
+            # d2·quant > ~9.2e18, far outside normalized-embedding
+            # range (ADVICE r6).
+            q = np.floor(acc * quant + 0.5)
+            q = np.clip(q, 0.0, float(2**63 - 2**10)).astype(np.int64)
             q[j[:, None] == ids[None, :]] = sentinel  # exclude i == j
             kk = min(k, len(pdf))
             out_i, out_j, out_q = [], [], []

@@ -165,6 +165,10 @@ def vec_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anchor matrix collected once (bounded), candidates stream through
     # a slab-fold mapInPandas emitting batch-local top-k per anchor —
     # see operators/similarity.anchor_knn for the bit-parity argument
+    # SF CEILING (ADVICE r6): modulus pinned at 5 to mirror the static
+    # oracle; anchor_knn's 100k collect guard caps the corpus at 500k
+    # vectors (sf≈5) and raises loudly past it — raise the modulus here
+    # and in the oracle's `vec_id % 5` together.
     local = anchor_knn(
         e.repartition(32),
         e.filter(F.col("vec_id") % 5 == 0),

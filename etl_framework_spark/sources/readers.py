@@ -57,6 +57,13 @@ def kafka_source_options(spec: dict[str, Any]) -> dict[str, str]:
           knob that keeps state/shuffle sizes bounded at cluster scale)
       fail_on_data_loss: bool
       options: {...}  raw passthrough (wins over the mapped keys)
+
+    NOTE on 'stream': kafka is the ONLY format whose spec defaults to
+    'stream': true (readStream) — kafka is a streaming-first source and
+    a silent batch read of a topic is the bigger surprise. Every file/
+    jdbc/table format defaults to batch; set 'stream': false explicitly
+    for a bounded offset-range read (ADVICE r6: flipped default is
+    intentional and documented here).
     """
     if "bootstrap_servers" not in spec:
         raise ValueError("kafka source needs 'bootstrap_servers'")
@@ -98,10 +105,21 @@ def decode_kafka_value(
     natural dedup/ordering key downstream). Works on any DataFrame
     with kafka's output shape, batch or streaming — per-row expression
     only, no shuffle, fully pushdown-transparent.
+
+    Guards (ADVICE r6): a schema with value_format='string' raises
+    instead of silently dropping the DDL, and hoisted JSON fields that
+    collide with key/topic/partition/offset/timestamp raise instead of
+    producing ambiguous duplicate column names downstream.
     """
     meta = [c for c in ("topic", "partition", "offset", "timestamp") if c in df.columns]
     out = df.withColumn("key", F.col("key").cast("string"))
     if value_format == "string":
+        if schema:
+            raise ValueError(
+                "schema given but value_format='string' would ignore it; "
+                "use value_format='json' (the spec layer defaults to json "
+                "when a schema is present)"
+            )
         out = out.withColumn("value", F.col("value").cast("string"))
         cols = ["key", "value"]
     elif value_format == "json":
@@ -110,6 +128,15 @@ def decode_kafka_value(
         out = out.withColumn(
             "value", F.from_json(F.col("value").cast("string"), schema)
         )
+        reserved = {"key", *(meta if keep_metadata else [])}
+        hoisted = set(out.schema["value"].dataType.names)
+        clash = sorted(hoisted & reserved)
+        if clash:
+            raise ValueError(
+                f"JSON value fields {clash} collide with the kafka "
+                "key/metadata columns; rename them in the payload schema "
+                "or set keep_metadata=False"
+            )
         cols = ["key", "value.*"]
     else:
         raise ValueError(f"unsupported value_format {value_format!r}")
@@ -183,10 +210,13 @@ def read_source(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
                 f"underlying error: {e}"
             ) from e
         if spec.get("value_format") or spec.get("schema"):
+            # A schema implies JSON decode (ADVICE r6: the old default
+            # of 'string' silently dropped the user's DDL).
+            default_fmt = "json" if spec.get("schema") else "string"
             df = decode_kafka_value(
                 df,
                 schema=spec.get("schema"),
-                value_format=spec.get("value_format", "string"),
+                value_format=spec.get("value_format", default_fmt),
             )
         return df
     if fmt == "docstore":  # custom Python DataSource connector

@@ -118,3 +118,26 @@ def test_anchor_knn_guards_unbounded_anchor_collect(spark):
             sim.anchor_knn(emb, emb, k=2, quant=1e6)
     finally:
         sim._MAX_ANCHOR_COLLECT = old
+
+
+def test_anchor_knn_empty_anchor_set_raises_clearly(spark):
+    import pytest
+
+    emb = table(spark, SF, "embeddings").select("vec_id", "embedding")
+    none = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="anchor set is empty"):
+        anchor_knn(emb, none, k=2, quant=1e6)
+
+
+def test_anchor_knn_overflow_clips_not_wraps(spark):
+    """ADVICE r6: float->int64 overflow in numpy wraps to INT64_MIN,
+    which would sort ahead of every real distance; the kernel must
+    clip (JVM floor-to-bigint saturates at Long.MAX instead)."""
+    df = spark.createDataFrame(
+        [(0, [0.0]), (1, [4.0e9])], "vec_id long, embedding array<double>"
+    )
+    out = anchor_knn(df, df, k=2, quant=1e9).collect()
+    # pair distance d2 = 1.6e19, d2*quant ≈ 1.6e28 >> int64 — must not
+    # produce a negative qd2, and the self-pair mask must survive
+    assert len(out) > 0
+    assert all(r["qd2"] >= 0 for r in out)
