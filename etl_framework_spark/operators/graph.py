@@ -123,3 +123,42 @@ def pagerank(
         if (i + 1) % 5 == 0:
             p = p.localCheckpoint(eager=True)
     return p
+
+
+def co_occurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_degree: int = 200,
+) -> DataFrame:
+    """Weighted co-occurrence edges (u, v, c): for every group, each
+    unordered pair of distinct items it contains, with c = number of
+    shared groups. The projection step behind co-supplier /
+    co-purchase / co-token graphs.
+
+    ONE shuffle end-to-end: groupBy(group) with collect_set (map-side
+    partial sets dedupe (group, item) without a separate distinct
+    exchange), a degree gate that drops super-node groups — a group
+    with d items emits C(d,2) pairs, so the cap bounds the blowup on
+    skewed corpora; callers MUST mirror it in their oracle (TPC-H part
+    degree is ~30 flat, so 200 is inert at test scales) — then pairs
+    explode JVM-side from the sorted set (u < v by construction) and
+    partial-aggregate into counts. Returns c as double (quantile math
+    downstream).
+    """
+    g = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sort_array(F.collect_set(item_col)).alias("ss"))
+        .filter(
+            (F.size("ss") >= 2) & (F.size("ss") <= max_group_degree)
+        )
+    )
+    pairs = g.select(F.posexplode("ss").alias("i", "u"), "ss").select(
+        "u",
+        F.explode(
+            F.slice("ss", F.col("i") + F.lit(2), F.size("ss"))
+        ).alias("v"),
+    )
+    return pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )

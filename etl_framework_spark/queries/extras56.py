@@ -83,11 +83,24 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
         F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
     ).distinct()
-    edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # Materialize the edge list ONCE (persist): it feeds every one of
+    # the k frontier joins, and unpersisted it re-ran the
+    # lineitem-distinct pipeline per round. Each frontier/visited
+    # round localCheckpoints — BFS is inherently iterative, and
+    # truncating the lineage keeps round i from re-dragging rounds
+    # 1..i-1 through the planner (same fix as graph_kcore_peel, r7).
+    # No distinct on the union: the forward branch has src='s:*' and
+    # the reversed branch src='p:*' — disjoint namespaces, and fwd is
+    # already distinct, so the union is dup-free by construction
+    # (dropping the redundant 1.2M-row exchange).
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
     visited = (
         spark.range(1)
         .select(F.concat(F.lit("s:"), F.lit(_SEED_SUPP)).alias("node"))
         .withColumn("lvl", F.lit(0))
+        .localCheckpoint()
     )
     frontier = visited
     for i in range(1, _K_HOPS + 1):
@@ -97,9 +110,11 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("lvl", F.lit(i))
+            .localCheckpoint()
         )
-        visited = visited.unionAll(nxt)
+        visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt
+    edges.unpersist()
     return visited.groupBy("lvl").agg(
         F.count(F.when(F.col("node").startswith("s:"), 1))
         .cast("bigint")

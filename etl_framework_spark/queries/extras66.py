@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_framework_spark.catalog import table
+from etl_framework_spark.operators.graph import co_occurrence_pairs
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
 
@@ -200,9 +201,14 @@ def stats_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_assortativity",
     oracle=f"""
     WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    pdeg AS MATERIALIZED (
+      SELECT p FROM (SELECT p, count(*) AS d FROM e0 GROUP BY p)
+      WHERE d BETWEEN 2 AND 200
+    ),
     w0 AS (
       SELECT a.s AS u, b.s AS v, CAST(count(*) AS DOUBLE) AS c
       FROM e0 a JOIN e0 b ON a.p = b.p AND a.s < b.s
+      WHERE a.p IN (SELECT p FROM pdeg)
       GROUP BY u, v
     ),
     thr AS (SELECT quantile_cont(c, 0.9) AS t FROM w0),
@@ -250,23 +256,23 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_bipartite_weights)."""
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
-    e0 = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a = e0.select("p", F.col("s").alias("u"))
-    b = e0.select("p", F.col("s").alias("v"))
-    w0 = (
-        a.join(b, "p")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("double").alias("c"))
-    )
+    # One-shuffle pair build shared with graph_kcore_peel (r7): the
+    # degree cap is mirrored in the oracle's pdeg CTE. w0 persists
+    # (read twice: quantile + filter); the tiny sparsified edge set
+    # localCheckpoints because deg and the end-pairing re-read it —
+    # unpersisted, the whole pair build replayed once per consumer.
+    w0 = co_occurrence_pairs(
+        li, "l_partkey", "l_suppkey", max_group_degree=200
+    ).persist()
     thr = w0.agg(F.percentile("c", 0.9).alias("t"))
     w = (
         w0.crossJoin(F.broadcast(thr))
         .filter(F.col("c") > F.col("t"))
         .select("u", "v")
+        .coalesce(1)
+        .localCheckpoint()
     )
+    w0.unpersist()
     deg = (
         w.select(F.col("u").alias("n"))
         .unionAll(w.select(F.col("v").alias("n")))

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_framework_spark.catalog import table
+from etl_framework_spark.operators.graph import co_occurrence_pairs
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
 
@@ -233,29 +234,14 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_khop_reach, graph_assortativity)."""
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
-    # ONE shuffle builds the weighted graph: collect_set dedupes
-    # (part, supplier) with map-side partial sets, the degree cap
-    # drops super-node parts (mirrored in the oracle), and the sorted
-    # set explodes into u < v pairs JVM-side — no distinct exchange,
-    # no self-join. TPC-H part degree is ~30 flat at every SF, so the
-    # cap only matters on skewed real corpora, where it is the
-    # difference between O(E·d̄) and O(E·d_max).
-    g = (
-        li.groupBy(F.col("l_partkey").alias("p"))
-        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
-        .filter((F.size("ss") >= 2) & (F.size("ss") <= _MAX_PART_DEG))
-    )
-    pairs = g.select(F.posexplode("ss").alias("i", "u"), "ss").select(
-        "u",
-        F.explode(
-            F.slice("ss", F.col("i") + F.lit(2), F.size("ss"))
-        ).alias("v"),
-    )
-    w0 = (
-        pairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("double").alias("c"))
-        .persist()
-    )
+    # ONE shuffle builds the weighted graph — see
+    # operators/graph.co_occurrence_pairs (degree cap mirrored in the
+    # oracle's pdeg CTE; TPC-H part degree is ~30 flat at every SF, so
+    # the cap only matters on skewed real corpora, where it is the
+    # difference between O(E·d̄) and O(E·d_max)).
+    w0 = co_occurrence_pairs(
+        li, "l_partkey", "l_suppkey", max_group_degree=_MAX_PART_DEG
+    ).persist()
     thr = w0.agg(F.percentile("c", 0.9).alias("t"))
     # localCheckpoint (eager) the tiny post-threshold edge set and each
     # peel round: the peel is inherently iterative, and checkpointing

@@ -537,7 +537,19 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-bounds Levenshtein, and bucket-coarsening only shrinks it,
     so no qualifying pair is lost — the oracle stays the plain
     formulation. ~48 integer ops per pair instead of a 64×64 DP:
-    measured 12.8s → 3.2s at sf0.1."""
+    measured 12.8s → 3.2s at sf0.1.
+
+    r7 scale fix (the 10× scale probe measured exponent 1.68 on the
+    old shape): the length band |Δn| ≤ 16 used to be a post-join
+    FILTER, so the equi-join on (lang, source) materialized full
+    O(block²) candidates. The band is now part of the JOIN KEY:
+    16-wide length buckets, with the b side exploded to its bucket ±1
+    (|Δn| ≤ 16 ⇒ |Δbucket| ≤ 1, and each qualifying pair matches on
+    exactly one of the three keys, so no dedup pass is needed).
+    Candidates shrink from block² to Σ-per-band products; growth in
+    corpus size is still quadratic WITHIN a (lang, source, 16-char
+    length band) sliver — inherent to the exact all-qualifying-pairs
+    contract, documented in SCALE.md with the measured exponent."""
     prep(spark)
     from etl_framework_spark.catalog import table as _table
 
@@ -554,8 +566,18 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(0, 15),"
             " i -> size(filter(split(pfx, ''), c -> ascii(c) % 16 = i)))"
         ),
-    )
-    a, b = d.alias("a"), d.alias("b")
+    ).withColumn("bkt", F.floor(F.col("n") / 16).cast("bigint"))
+    a = d.alias("a")
+    b = (
+        d.withColumn(
+            "bkt",
+            F.explode(
+                F.array(
+                    F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1
+                )
+            ),
+        )
+    ).alias("b")
     lb1 = F.expr(
         "aggregate(zip_with(a.hist, b.hist, (x, y) -> greatest(x - y, 0)),"
         " 0, (acc, v) -> acc + v)"
@@ -570,6 +592,7 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.abs(F.col("a.n") - F.col("b.n")) <= 16),
         )

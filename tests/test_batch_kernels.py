@@ -141,3 +141,44 @@ def test_anchor_knn_overflow_clips_not_wraps(spark):
     # produce a negative qd2, and the self-pair mask must survive
     assert len(out) > 0
     assert all(r["qd2"] >= 0 for r in out)
+
+
+def test_co_occurrence_pairs_matches_naive_join(spark):
+    """The one-shuffle collect_set pair build (shared by
+    graph_kcore_peel / graph_assortativity, r7) must produce exactly
+    the distinct+self-join formulation it replaced, under the degree
+    cap."""
+    from etl_framework_spark.operators.graph import co_occurrence_pairs
+
+    li = table(spark, SF, "lineitem")
+    got = co_occurrence_pairs(li, "l_partkey", "l_suppkey", 200)
+    e0 = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    deg_ok = (
+        e0.groupBy("p").count().filter(F.col("count").between(2, 200)).select("p")
+    )
+    e0f = e0.join(deg_ok, "p", "left_semi")
+    a = e0f.select("p", F.col("s").alias("u"))
+    b = e0f.select("p", F.col("s").alias("v"))
+    want = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+
+def test_co_occurrence_pairs_degree_cap_drops_super_groups(spark):
+    from etl_framework_spark.operators.graph import co_occurrence_pairs
+
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(5)] + [("g2", i) for i in range(2)],
+        "grp string, item int",
+    )
+    # cap=4 drops g1 (degree 5) entirely; g2 contributes its one pair
+    got = co_occurrence_pairs(df, "grp", "item", max_group_degree=4)
+    assert [tuple(r) for r in got.collect()] == [(0, 1, 1.0)]
