@@ -267,3 +267,40 @@ def shingles3(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return docs.select(id_col, text_col).mapInPandas(
         gen, f"{id_col} bigint, n bigint, s string"
     )
+
+
+def simhash_bits(hashes: Column, nbits: int = 32) -> Column:
+    """n-bit SimHash (n <= 32) over pre-staged per-token md5 digests:
+    bit j votes on digest-nibble-j's top bit, exactly like simhash16
+    but wider — md5's 32 hex nibbles give up to 32 independent bits.
+    Wider signatures are what make Hamming BANDING selective: with 4
+    bands of n/4 bits, a band key has 2^(n/4) values, so bucket sizes
+    shrink exponentially in signature width (16-bit bands have only 16
+    values — useless at scale; 8-bit bands have 256)."""
+    if not 1 <= nbits <= 32:
+        raise ValueError(f"simhash_bits: nbits must be 1..32, got {nbits}")
+    n = F.size(hashes)
+    high = list("89abcdef")
+
+    def bit_pred(j: int):
+        return lambda h: F.substring(h, j + 1, 1).isin(*high)
+
+    out = F.lit(0)
+    for j in range(nbits):
+        cnt = F.size(F.filter(hashes, bit_pred(j)))
+        out = out + F.when(cnt * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+    return out.cast("bigint")
+
+
+def duck_simhash_bits(tok_expr: str, nbits: int = 32) -> str:
+    """DuckDB mirror of `simhash_bits`."""
+    terms = []
+    for j in range(nbits):
+        cnt = (
+            f"len(list_filter({tok_expr}, t -> substr(md5(t), {j + 1}, 1) IN "
+            "('8','9','a','b','c','d','e','f')))"
+        )
+        terms.append(
+            f"(CASE WHEN {cnt} * 2 > len({tok_expr}) THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

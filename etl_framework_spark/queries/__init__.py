@@ -172,6 +172,7 @@ for _m in [
     "extras134",
     "extras135",
     "extras136",
+    "extras137",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the

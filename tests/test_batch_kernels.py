@@ -182,3 +182,42 @@ def test_co_occurrence_pairs_degree_cap_drops_super_groups(spark):
     # cap=4 drops g1 (degree 5) entirely; g2 contributes its one pair
     got = co_occurrence_pairs(df, "grp", "item", max_group_degree=4)
     assert [tuple(r) for r in got.collect()] == [(0, 1, 1.0)]
+
+
+def test_simhash_banding_is_recall_exact(spark):
+    """Pigeonhole guarantee: the banded candidate join must recover
+    EXACTLY the pairs the full (lang)-block join finds at Hamming <= 3
+    on the same 32-bit signatures — banding is a scale optimization,
+    not an approximation."""
+    from etl_framework_spark.operators.dedup import md5_per_token, simhash_bits
+    from etl_framework_spark.operators.textops import tokens
+    from etl_framework_spark.queries.extras137 import llm_dedup_simhash_banded
+    from etl_framework_spark.catalog import table as _table
+
+    got = {
+        tuple(r)
+        for r in llm_dedup_simhash_banded(spark, SF).collect()
+    }
+    sh = (
+        _table(spark, SF, "documents")
+        .withColumn("__h", md5_per_token(F.array_distinct(tokens("text"))))
+        .select("doc_id", "lang", simhash_bits(F.col("__h"), 32).alias("sh"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    want = {
+        tuple(r)
+        for r in a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= 3)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
