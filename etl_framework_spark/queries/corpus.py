@@ -129,25 +129,60 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("llm_sim_ivf")  # rows-only: IVF is approximate by design
 def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (L3 scale path, complement to sign-LSH): coarse
-    quantizer = per-label centroids (training collects exactly
-    10×64 floats — a bounded model, not data), each vector assigned
-    to its nearest centroid cell, queries probe the 2 nearest cells.
-    Join cost is cell-local; recall asserted vs exact in unit tests."""
+    quantizer = centroids of (label × projection-bucket) cells, each
+    vector assigned to its nearest centroid cell, queries probe the 2
+    nearest cells. Join cost is cell-local; recall asserted vs exact
+    in unit tests.
+
+    r7: cell count now scales ~√N (the standard IVF sizing rule — the
+    10× scale probe measured the fixed-10-cell version at exponent
+    1.13, because cell sizes grew linearly with the corpus). Labels
+    subdivide by a locality-preserving bucket of each vector's
+    projection onto a fixed deterministic direction (cos(i+1) per
+    dim), so the trained model stays bounded: n_cells ≈ √N, collected
+    centroids grow as √N·dim — at 100 TB (10^10 vectors) that is
+    ~10^5 cells × 64 dims, still a broadcastable model. Probe work
+    per query drops from O(N/cells)=O(N) to O(√N)."""
     prep(spark)
     from etl_framework_spark.operators.similarity import dot_fold, l2_norm
 
     emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()  # one scalar job: sizes the quantizer, never data
+    n_labels = 10
+    buckets = max(1, int(n ** 0.5) // n_labels)
+    # deterministic unit-free direction; proj is locality-preserving
+    # (nearby vectors get nearby proj), so equal-width buckets over
+    # [-1, 1] of the normalized projection split each label cell
+    proj = F.expr(
+        "aggregate(zip_with(embedding,"
+        " transform(sequence(1, size(embedding)), i -> cos(i)),"
+        " (x, d) -> x * d), cast(0.0 as double), (acc, v) -> acc + v)"
+    ) / (l2_norm(F.col("embedding")) + F.lit(1e-12))
+    embp = emb.withColumn(
+        "pb",
+        F.least(
+            F.greatest(
+                F.floor((proj / 2.0 + 0.5) * buckets).cast("int"), F.lit(0)
+            ),
+            F.lit(buckets - 1),
+        ),
+    )
     cent_rows = (
-        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
-        .groupBy("label", "dim")
+        embp.select(
+            "label", "pb", F.posexplode("embedding").alias("dim", "val")
+        )
+        .groupBy("label", "pb", "dim")
         .agg(F.avg(F.col("val").cast("double")).alias("c"))
-        .groupBy("label")
+        .groupBy("label", "pb")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
-        .select("label", F.col("sc.c").alias("centroid"))
+        .select("label", "pb", F.col("sc.c").alias("centroid"))
         .collect()
-    )  # bounded: n_labels × dim values — the trained coarse quantizer
+    )  # bounded: ~sqrt(N) cells × dim floats — the trained quantizer
     cents = spark.createDataFrame(
-        [(int(r.label), [float(x) for x in r.centroid]) for r in cent_rows],
+        [
+            (int(r.label) * buckets + int(r.pb), [float(x) for x in r.centroid])
+            for r in cent_rows
+        ],
         "cell int, centroid array<double>",
     )
     scored = emb.crossJoin(F.broadcast(cents)).select(
