@@ -65,6 +65,7 @@ DEFAULT_KEYS = [
     "llm_dedup_minhash",
     "llm_dedup_jaccard",
     "llm_dedup_simhash",
+    "llm_dedup_simhash_banded",
     "llm_sim_topk",
     "llm_text_stats",
     "vec_hubness",
@@ -174,6 +175,31 @@ def build_inflated(factor: int, rebuild: bool = False) -> str:
     return out_dir
 
 
+def _write(factor: int, results: dict) -> None:
+    # merge with any prior run at the same factor so a --keys re-probe
+    # of one fixed key updates its row instead of dropping the rest
+    merged: dict = {}
+    if os.path.exists(OUT_JSON):
+        try:
+            prior = json.load(open(OUT_JSON))
+            if prior.get("factor") == factor:
+                merged = prior.get("keys", {})
+        except Exception:
+            pass
+    merged.update(results)
+    out = {
+        "base": BASE,
+        "factor": factor,
+        "note": "exponent = log(T_N/T_1)/log(N); median of 3 timed runs "
+        "per scale after an sf0.01 warmup, cache cleared between keys; "
+        "disjoint-replica corpus (see module docstring)",
+        "keys": merged,
+    }
+    os.makedirs(os.path.dirname(OUT_JSON), exist_ok=True)
+    with open(OUT_JSON, "w") as f:
+        json.dump(out, f, indent=1)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -193,11 +219,23 @@ def main() -> int:
     results: dict[str, dict] = {}
     noop = lambda df: df.write.format("noop").mode("overwrite").save()
 
+    def timed_median(fn, sf: str, reps: int = 3) -> float:
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            noop(fn(spark, sf))
+            ts.append(time.time() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
     for key in keys:
         fn = qs[key]
+        # isolate keys from each other: cached/checkpointed blocks from
+        # the previous key otherwise skew single-run timings badly
+        spark.catalog.clearCache()
         noop(fn(spark, "/root/testdata/sf0.01"))  # warm codegen/JIT
-        t0 = time.time(); noop(fn(spark, BASE)); t_base = time.time() - t0
-        t0 = time.time(); noop(fn(spark, big_dir)); t_big = time.time() - t0
+        t_base = timed_median(fn, BASE)
+        t_big = timed_median(fn, big_dir)
         exp = math.log(max(t_big, 1e-3) / max(t_base, 1e-3)) / math.log(
             args.factor
         )
@@ -211,18 +249,8 @@ def main() -> int:
             f"exp={exp:5.2f}",
             flush=True,
         )
+        _write(args.factor, results)  # incremental: survive interrupts
 
-    out = {
-        "base": BASE,
-        "factor": args.factor,
-        "note": "exponent = log(T_N/T_1)/log(N); single timed run per "
-        "scale after an sf0.01 warmup; disjoint-replica corpus (see "
-        "module docstring)",
-        "keys": results,
-    }
-    os.makedirs(os.path.dirname(OUT_JSON), exist_ok=True)
-    with open(OUT_JSON, "w") as f:
-        json.dump(out, f, indent=1)
     print(f"wrote {OUT_JSON}")
     worst = sorted(
         results.items(), key=lambda kv: -kv[1]["exponent"]
