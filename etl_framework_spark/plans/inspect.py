@@ -58,7 +58,10 @@ SKELETON_ONLY_KEYS = frozenset({
     "llm_greedy_coverage",
     "llm_lang_label_conflicts",
     "pipeline_lineage",
+    "profile_lineitem",
     "stats_benford_second",
+    "stats_chisq",
+    "stats_cramers_v",
     "stream_join",
     "vec_label_text_alignment",
 })
