@@ -304,3 +304,101 @@ def duck_simhash_bits(tok_expr: str, nbits: int = 32) -> str:
             f"(CASE WHEN {cnt} * 2 > len({tok_expr}) THEN {1 << j} ELSE 0 END)"
         )
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def prefix_filtered_jaccard_pairs(
+    toksets: DataFrame, tau_num: int, tau_den: int
+) -> DataFrame:
+    """Exact blocked Jaccard ≥ τ (= tau_num/tau_den) via one-sided
+    prefix filtering (AllPairs, Bayardo et al. WWW'07): order each
+    doc's tokens by per-block rarity, keep only the first
+    n − ⌈τ·n⌉ + 1 per doc on the PROBE side, and join those prefix
+    tokens against the full exploded side.
+
+    Why this is exact: if jac(A,B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉, and A's
+    suffix holds only ⌈τ·|A|⌉ − 1 tokens — so at least one common
+    token sits in A's prefix (one-sided: no assumption about its
+    position in B, which is the part of the symmetric PPJoin prefix
+    theorem that does NOT hold at these prefix lengths). ⌈τ·n⌉ is
+    computed in integer arithmetic ((n·num + den − 1) div den): a
+    float ceil(0.2·15) = ceil(3.0000000000000004) = 4 would shorten
+    the prefix and silently drop pairs.
+
+    Why this scales: candidate work is Σ_tok df_prefix·df_full
+    instead of Σ_tok df² — rarity ordering pushes every hot token
+    (stopwords: the df² blowup in any shared-token join) into the
+    suffix of essentially every doc, so hot tokens generate no
+    candidates at all. The exact Jaccard then runs per CANDIDATE via
+    array_intersect — bounded by survivors, not by blocks.
+
+    Input: (doc_id, lang, source, ts) with ts distinct tokens.
+    Output: (id_a, id_b, jac) for all qualifying pairs, exact.
+    """
+    from pyspark.sql import Window as W
+
+    tok = toksets.select(
+        "doc_id", "lang", "source", F.explode("ts").alias("tok")
+    )
+    dfreq = tok.groupBy("lang", "source", "tok").agg(
+        F.count("*").alias("__df")
+    )
+    ranked = tok.join(dfreq, ["lang", "source", "tok"])
+    wd = W.partitionBy("doc_id").orderBy("__df", "tok")
+    pre = (
+        ranked.select(
+            "doc_id",
+            "lang",
+            "source",
+            "tok",
+            F.row_number().over(wd).alias("__rk"),
+            F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("__n"),
+        )
+        # prefix length p = n - ceil(tau*n) + 1, integer-exact
+        .filter(
+            F.col("__rk")
+            <= F.col("__n")
+            - F.floor(
+                (F.col("__n") * tau_num + (tau_den - 1)) / tau_den
+            )
+            + 1
+        )
+    )
+    pa = pre.select(F.col("doc_id").alias("id_a"), "lang", "source", "tok")
+    tb = tok.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("__l2"),
+        F.col("source").alias("__s2"),
+        F.col("tok").alias("__t2"),
+    )
+    cand = (
+        pa.join(
+            tb,
+            (F.col("lang") == F.col("__l2"))
+            & (F.col("source") == F.col("__s2"))
+            & (F.col("tok") == F.col("__t2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared_pref"))
+        .drop("__shared_pref")
+    )
+    sa = toksets.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("__ta"))
+    sb = toksets.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("__tb"))
+    inter = F.size(F.array_intersect("__ta", "__tb")).cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                inter
+                / (
+                    F.size("__ta").cast("double")
+                    + F.size("__tb").cast("double")
+                    - inter
+                )
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= F.lit(tau_num) / F.lit(tau_den))
+    )

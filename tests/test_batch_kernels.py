@@ -221,3 +221,32 @@ def test_simhash_banding_is_recall_exact(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_prefix_filtered_jaccard_matches_token_join(spark):
+    """One-sided prefix filtering (AllPairs) must recover EXACTLY the
+    shared-token join's qualifying pairs — it is a scale optimization,
+    not an approximation. (Float-ceil prefix lengths would silently
+    drop pairs; the operator computes ceil in integer arithmetic.)"""
+    from etl_framework_spark.operators.dedup import (
+        blocked_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+    from etl_framework_spark.operators.textops import tokens
+    from etl_framework_spark.catalog import table as _table
+
+    toksets = _table(spark, SF, "documents").select(
+        "doc_id", "lang", "source",
+        F.array_distinct(tokens("text")).alias("ts"),
+    )
+    old = {
+        (r.id_a, r.id_b, round(r.jac, 6))
+        for r in blocked_jaccard_pairs(toksets)
+        .filter(F.col("jac") >= 0.2)
+        .collect()
+    }
+    new = {
+        (r.id_a, r.id_b, round(r.jac, 6))
+        for r in prefix_filtered_jaccard_pairs(toksets, 1, 5).collect()
+    }
+    assert new == old and len(new) > 0

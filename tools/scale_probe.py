@@ -64,6 +64,7 @@ DEFAULT_KEYS = [
     "llm_dedup_exact",
     "llm_dedup_minhash",
     "llm_dedup_jaccard",
+    "llm_dedup_jaccard_prefix",
     "llm_dedup_simhash",
     "llm_dedup_simhash_banded",
     "llm_sim_topk",
