@@ -180,7 +180,21 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wo = W.partitionBy("user_id").orderBy("ts", "is_grid", "event_id")
     back = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
-    fwd = wo.rowsBetween(W.currentRow, W.unboundedFollowing)
+    # The forward neighbor comes from a running last() over the
+    # REVERSE order, not a (currentRow, unboundedFollowing) frame:
+    # Spark's UnboundedFollowing frame re-scans forward from every row
+    # (per-row O(distance-to-next-event)), while a reverse-ordered
+    # running frame keeps O(1) state per row at the cost of one extra
+    # in-partition sort — measured 2.13 s → 0.60 s for the window
+    # stage at sf0.1, bit-identical output (r7).
+    rev = (
+        W.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").desc(), F.col("is_grid").desc(),
+            F.col("event_id").desc(),
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     ev_ts = F.when(F.col("is_grid") == 0, F.col("ts"))
     w = u.select(
         "user_id",
@@ -188,8 +202,8 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_grid",
         F.last("value", ignorenulls=True).over(back).alias("vp"),
         F.last(ev_ts, ignorenulls=True).over(back).alias("tp"),
-        F.first("value", ignorenulls=True).over(fwd).alias("vn"),
-        F.first(ev_ts, ignorenulls=True).over(fwd).alias("tn"),
+        F.last("value", ignorenulls=True).over(rev).alias("vn"),
+        F.last(ev_ts, ignorenulls=True).over(rev).alias("tn"),
     )
     frac = (
         (F.unix_timestamp("ts") - F.unix_timestamp("tp")).cast("double")
