@@ -105,8 +105,12 @@ def llm_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             ham.cast("int").alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: the Hamming gate is a map-side
+        # predicate, so the dedup shuffle sees only qualifying pairs
+        # (~19k rows) instead of every band collision (~3.9M on this
+        # vocabulary-correlated corpus)
         .filter(F.col("hamming") <= _HAM)
+        .distinct()
     )
 
 
