@@ -353,13 +353,14 @@ def prefix_filtered_jaccard_pairs(
             F.row_number().over(wd).alias("__rk"),
             F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("__n"),
         )
-        # prefix length p = n - ceil(tau*n) + 1, integer-exact
+        # prefix length p = n - ceil(tau*n) + 1. ⌈τ·n⌉ uses true integer
+        # division (`div`), never a float path: n·num + den − 1 stays in
+        # long arithmetic end to end, so exactness needs no argument
+        # about double precision at all (ADVICE r7).
         .filter(
             F.col("__rk")
             <= F.col("__n")
-            - F.floor(
-                (F.col("__n") * tau_num + (tau_den - 1)) / tau_den
-            )
+            - F.expr(f"(__n * {tau_num} + {tau_den - 1}) div {tau_den}")
             + 1
         )
     )

@@ -195,7 +195,19 @@ def llm_sim_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = table(spark, sf_dir, "embeddings")
-    q_rows = emb.filter(F.col("vec_id") % QUERY_MOD == 0).collect()
+    # same driver-memory guard as the exact twin (VERDICT r7 item 3:
+    # this collect was the one unguarded data-dependent collect).
+    q_rows = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .limit(_MAX_Q_COLLECT + 1)
+        .collect()
+    )
+    if len(q_rows) > _MAX_Q_COLLECT:
+        raise ValueError(
+            f"llm_sim_topk_gemm: query set exceeds _MAX_Q_COLLECT="
+            f"{_MAX_Q_COLLECT} rows; shard the query set (one corpus pass "
+            "per shard) or use llm_sim_ann/llm_sim_ivf."
+        )
     qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
