@@ -54,6 +54,18 @@ def duck_cosine(a: str, b: str) -> str:
     return f"({dot}) / (({na}) * ({nb}))"
 
 
+def ann_params(n_vectors: int) -> tuple[int, int]:
+    """Sign-LSH sizing rule shared by the query path and its recall
+    tests: P = round(log2(N)/2) planes clamped to [4, 16], so the
+    bucket count 2^P tracks ~sqrt(N) — per-query candidate work with
+    Hamming-≤1 multiprobe is (P+1)·N/2^P ≈ (P+1)·sqrt(N), sub-linear
+    in the corpus. Returns (n_planes, n_buckets)."""
+    import math
+
+    p = max(4, min(16, round(math.log2(max(n_vectors, 2)) / 2)))
+    return p, 1 << p
+
+
 def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
     """Deterministic Gaussian hyperplanes for sign-LSH bucketing."""
     rs = np.random.RandomState(seed)

@@ -31,6 +31,12 @@ def normalize_plan(plan: str) -> str:
     plan = re.sub(r"file:[^\],\s]*/(spark-warehouse|tmp)[^\],\s]*", r"file:.../\1", plan)
     # Python-RDD scans embed the session-global RDD id
     plan = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[x]", plan)
+    # localCheckpoint call sites name a JVM reflection frame that varies
+    # with how the JVM was entered (NativeMethodAccessorImpl.java:0 vs
+    # <unknown>:0) — environmental, not a plan property
+    plan = re.sub(
+        r"at localCheckpoint at [^,\]]+", "at localCheckpoint at <loc>", plan
+    )
     return plan
 
 

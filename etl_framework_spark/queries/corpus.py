@@ -128,88 +128,114 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("llm_sim_ivf")  # rows-only: IVF is approximate by design
 def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (L3 scale path, complement to sign-LSH): coarse
-    quantizer = centroids of (label × projection-bucket) cells, each
-    vector assigned to its nearest centroid cell, queries probe the 2
-    nearest cells. Join cost is cell-local; recall asserted vs exact
-    in unit tests.
+    return ivf_topk(spark, sf_dir)
 
-    r7: cell count now scales ~√N (the standard IVF sizing rule — the
-    10× scale probe measured the fixed-10-cell version at exponent
-    1.13, because cell sizes grew linearly with the corpus). Labels
-    subdivide by a locality-preserving bucket of each vector's
-    projection onto a fixed deterministic direction (cos(i+1) per
-    dim), so the trained model stays bounded: n_cells ≈ √N, collected
-    centroids grow as √N·dim — at 100 TB (10^10 vectors) that is
-    ~10^5 cells × 64 dims, still a broadcastable model. Probe work
-    per query drops from O(N/cells)=O(N) to O(√N)."""
+
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, query_pred=None
+) -> DataFrame:
+    """IVF-style ANN (L3 scale path, complement to sign-LSH): coarse
+    quantizer = (label x projection-quantile-bucket) cells; queries
+    probe the nprobe=3 cells whose centroids are most similar. Join cost is
+    cell-local; recall asserted vs exact in unit tests.
+
+    r7: cell count scales ~sqrt(N) (standard IVF sizing) with
+    QUANTILE cuts on a fixed deterministic projection -- random
+    high-dim projections concentrate ~N(0, 1/dim), so equal-width
+    bins put everything in the middle bin (measured: probe exp 1.23).
+
+    r8 restructure (VERDICT r7 item 1): assignment IS the quantizer
+    cell. The old shape re-scored every vector against every centroid
+    (a crossJoin doing O(N*cells) = O(N^1.5) work -- the scale probe
+    measured exponent 1.22 end-to-end, dominated by that stage). Now:
+      - build: one corpus pass for projection + quantile cuts (the
+        projected frame is cached so the two sizing actions share one
+        materialization -- ADVICE r7), one pass for cell centroids.
+        O(N*dim) total, linear.
+      - probe: each query scores only the sqrt(N)-sized centroid set
+        (Q*sqrt(N) work) and joins candidates from its 2 best cells
+        (2*N/cells ~ 2*sqrt(N)*10/labels per query).
+    The fixed-Q scale probe measures the per-query marginal cost
+    directly (tools/scale_probe.py --fixed-queries); the centroid
+    model stays broadcastable (~sqrt(N)*dim doubles; 10^5 cells x 64
+    dims at 10^10 vectors).
+
+    NOTE: building this DataFrame executes bounded Spark jobs (count,
+    quantile cuts, centroid collect) -- the IVF training step; plan
+    capture and per-key build timings include them (SCALE.md).
+
+    ``query_pred`` defaults to the registered contract's query set
+    (vec_id % 10 == 0); the scale probe passes a pinned predicate so
+    per-query cost can be measured at a fixed Q across corpus scales.
+    """
     prep(spark)
     from etl_framework_spark.operators.similarity import dot_fold, l2_norm
 
     emb = table(spark, sf_dir, "embeddings")
-    n = emb.count()  # one scalar job: sizes the quantizer, never data
-    n_labels = 10
-    buckets = max(1, int(n ** 0.5) // n_labels)
-    # deterministic direction; proj is locality-preserving (nearby
-    # vectors get nearby proj). Buckets cut at QUANTILES, not equal
-    # width: random high-dim projections concentrate tightly around 0
-    # (~N(0, 1/dim)), so equal-width bins over [-1,1] put ~everything
-    # in the middle bin (measured: the equal-width version did not
-    # shrink cells at all — probe exp 1.23). Quantile cuts give
-    # equal-mass cells by construction.
+    if query_pred is None:
+        query_pred = F.col("vec_id") % 10 == 0
     proj = F.expr(
         "aggregate(zip_with(embedding,"
         " transform(sequence(1, size(embedding)), i -> cos(i)),"
         " (x, d) -> x * d), cast(0.0 as double), (acc, v) -> acc + v)"
     ) / (l2_norm(F.col("embedding")) + F.lit(1e-12))
-    embp = emb.withColumn("proj", proj)
-    if buckets > 1:
-        qs_cut = [i / buckets for i in range(1, buckets)]
-        cuts = embp.agg(
-            F.percentile_approx("proj", qs_cut, 10_000).alias("c")
-        ).collect()[0]["c"]  # bounded: buckets-1 doubles
-        cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
-        embp = embp.withColumn(
-            "pb", F.size(F.filter(cut_arr, lambda c: c <= F.col("proj")))
-        )
-    else:
-        embp = embp.withColumn("pb", F.lit(0))
-    embp = embp.drop("proj")
+    embp = emb.withColumn("proj", proj).persist()
+    try:
+        n = embp.count()  # sizes the quantizer; materializes the cache
+        n_labels = 10
+        buckets = max(1, int(n ** 0.5) // n_labels)
+        if buckets > 1:
+            qs_cut = [i / buckets for i in range(1, buckets)]
+            cuts = embp.agg(
+                F.percentile_approx("proj", qs_cut, 10_000).alias("c")
+            ).collect()[0]["c"]  # bounded: buckets-1 doubles
+            cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+            pb = F.size(F.filter(cut_arr, lambda c: c <= F.col("proj")))
+        else:
+            pb = F.lit(0)
+    finally:
+        # the returned plan recomputes proj in ONE pass; holding the
+        # cache would leak blocks across keys
+        embp.unpersist(False)
+    assign = embp.withColumn(
+        "cell", (F.col("label").cast("int") * buckets + pb).cast("int")
+    ).select("vec_id", "embedding", "cell")
     cent_rows = (
-        embp.select(
-            "label", "pb", F.posexplode("embedding").alias("dim", "val")
+        assign.select(
+            "cell", F.posexplode("embedding").alias("dim", "val")
         )
-        .groupBy("label", "pb", "dim")
+        .groupBy("cell", "dim")
         .agg(F.avg(F.col("val").cast("double")).alias("c"))
-        .groupBy("label", "pb")
+        .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
-        .select("label", "pb", F.col("sc.c").alias("centroid"))
+        .select("cell", F.col("sc.c").alias("centroid"))
         .collect()
-    )  # bounded: ~sqrt(N) cells × dim floats — the trained quantizer
+    )  # bounded: ~sqrt(N) cells x dim floats -- the trained quantizer
     cents = spark.createDataFrame(
         [
-            (int(r.label) * buckets + int(r.pb), [float(x) for x in r.centroid])
+            (int(r.cell), [float(x) for x in r.centroid])
             for r in cent_rows
         ],
         "cell int, centroid array<double>",
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cell",
-        (
-            dot_fold(F.col("embedding"), F.col("centroid"))
-            / (l2_norm(F.col("embedding")) * l2_norm(F.col("centroid")))
-        ).alias("csim"),
+    q = emb.filter(query_pred).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    w_cell = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
-    ranked = scored.withColumn("crnk", F.row_number().over(w_cell))
-    assign = ranked.filter(F.col("crnk") == 1).select("vec_id", "embedding", "cell")
+    csim = (
+        dot_fold(F.col("qe"), F.col("centroid"))
+        / (l2_norm(F.col("qe")) * l2_norm(F.col("centroid")))
+    ).alias("csim")
+    w_cell = W.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cell"))
     probes = (
-        ranked.filter((F.col("crnk") <= 2) & (F.col("vec_id") % 10 == 0))
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cell")
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "qe", "cell", csim)
+        .withColumn("crnk", F.row_number().over(w_cell))
+        .filter(F.col("crnk") <= 3)
+        .select("qid", "qe", "cell")
     )
-    cand = assign.join(F.broadcast(probes), "cell").filter(F.col("vec_id") != F.col("qid"))
+    cand = assign.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
     cos = F.round(
         dot_fold(F.col("qe"), F.col("embedding"))
         / (l2_norm(F.col("qe")) * l2_norm(F.col("embedding"))),

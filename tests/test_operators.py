@@ -73,14 +73,19 @@ def test_asof_matches_naive(spark):
 def test_ann_better_than_chance(spark):
     """LSH ANN recall must beat random candidate selection of the same
     scan fraction (near-uniform corpus ⇒ absolute recall is low by
-    nature; the *ratio* is the property worth holding)."""
+    nature; the *ratio* is the property worth holding). r8: planes are
+    sized by ann_params(N) with Hamming-1 multiprobe, so the scanned
+    fraction is (P+1)/2^P — computed here from the same rule."""
+    from etl_framework_spark.operators.similarity import ann_params
+
     qs = ent.queries()
     exact = {(r.qid, r.vid) for r in qs["llm_sim_topk"](spark, SF_MID).collect()}
     ann_rows = qs["llm_sim_ann"](spark, SF_MID).collect()
     ann = {(r.qid, r.vid) for r in ann_rows}
     recall = len(exact & ann) / len(exact)
     n_corpus = table(spark, SF_MID, "embeddings").count()
-    scan_fraction = 1 / 16  # 4 planes → 16 buckets, near-uniform occupancy
+    p, n_buckets = ann_params(n_corpus)
+    scan_fraction = (p + 1) / n_buckets  # multiprobe: own + P Hamming-1
     assert recall > 1.5 * scan_fraction, (recall, scan_fraction)
     # and the cosines ANN reports must be the true cosines (subset property)
     exact_cos = {
