@@ -43,6 +43,28 @@ _COS_AB = duck_cosine("a.embedding", "b.embedding")
 # --------------------------------------------------------------------------
 # L3 — brute-force top-k cosine similarity search
 # --------------------------------------------------------------------------
+def _local_topk_frame(pd, np, bqids, vids, cq, k):
+    """Vectorized local top-k for the Arrow kernels: emit, per query
+    column, every batch row whose (already quantized) similarity is >=
+    the column's k-th largest — a provable superset of this batch's
+    global-top-k contributors (if k rows in the batch score strictly
+    higher than row r, those k also beat r globally; otherwise r
+    clears the threshold), so the downstream global window's
+    (cos desc, vid) ranking stays exact. Ties at the threshold emit a
+    few extra rows instead of running a per-query Python lexsort over
+    the whole batch — the r8 fixed-Q probe measured the old per-
+    (query, batch) loop super-linear in Python overhead."""
+    eq = vids[:, None] == bqids[None, :]
+    cqm = np.where(eq, -np.inf, cq)
+    kth = min(k - 1, cqm.shape[0] - 1)
+    thr = -np.partition(-cqm, kth, axis=0)[kth, :]
+    mask = (cqm >= thr[None, :]) & np.isfinite(cqm)
+    ridx, cidx = np.nonzero(mask)
+    return pd.DataFrame(
+        {"qid": bqids[cidx], "vid": vids[ridx], "cos_sim": cqm[ridx, cidx]}
+    )
+
+
 def _duck_q6(expr: str) -> str:
     """Sign-aware half-away-from-zero quantization to 6 dp, written as
     pure double arithmetic (trunc/sign/×1e6) so DuckDB and numpy
@@ -126,30 +148,29 @@ def exact_topk(
 
     def local_topk(batches):
         bqids, bQ, bqn = b.value
+        # row-chunk the fold so the (rows x queries) accumulator slab
+        # stays cache-resident: un-chunked, the 64 per-dimension passes
+        # each stream a slab of batch_rows*|Q| doubles through DRAM and
+        # the measured per-query cost went super-linear right where the
+        # slab outgrew cache (r8 fixed-Q probe). Chunking rows changes
+        # no per-element accumulation order — bits are identical.
+        chunk = max(1, (4 << 20) // max(len(bqids), 1) // 8)
         for pdf in batches:
-            V = np.array(list(pdf["embedding"]), dtype=np.float64)
-            vids = pdf["vec_id"].to_numpy()
-            vn_acc = np.zeros(len(V))
-            S = np.zeros((len(V), len(bqids)))
-            for d in range(bQ.shape[1]):  # same strict fold, row-vectorized
-                V_d = V[:, d]
-                vn_acc = vn_acc + V_d * V_d
-                S = S + V_d[:, None] * bQ[None, :, d]
-            vn = np.sqrt(vn_acc)
-            cos = S / (bqn[None, :] * vn[:, None])
-            cq = np.trunc(cos * 1e6 + np.sign(cos) * 0.5) / 1e6
-            out_q, out_v, out_c = [], [], []
-            for j, qid in enumerate(bqids):
-                col = cq[:, j]
-                mask = vids != qid
-                idx = np.nonzero(mask)[0]
-                if len(idx) == 0:
-                    continue
-                order = idx[np.lexsort((vids[idx], -col[idx]))][:k]
-                out_q.extend([qid] * len(order))
-                out_v.extend(vids[order])
-                out_c.extend(col[order])
-            yield pd.DataFrame({"qid": out_q, "vid": out_v, "cos_sim": out_c})
+            V_all = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vids_all = pdf["vec_id"].to_numpy()
+            for lo in range(0, len(V_all), chunk):
+                V = V_all[lo : lo + chunk]
+                vids = vids_all[lo : lo + chunk]
+                vn_acc = np.zeros(len(V))
+                S = np.zeros((len(V), len(bqids)))
+                for d in range(bQ.shape[1]):  # strict fold, row-vectorized
+                    V_d = V[:, d]
+                    vn_acc = vn_acc + V_d * V_d
+                    S = S + V_d[:, None] * bQ[None, :, d]
+                vn = np.sqrt(vn_acc)
+                cos = S / (bqn[None, :] * vn[:, None])
+                cq = np.trunc(cos * 1e6 + np.sign(cos) * 0.5) / 1e6
+                yield _local_topk_frame(pd, np, bqids, vids, cq, k)
 
     cand = emb.select("vec_id", "embedding").mapInPandas(
         local_topk, schema="qid long, vid long, cos_sim double"
@@ -268,23 +289,17 @@ def gemm_topk(
 
     def local_topk(batches):
         bqids, bQ = b.value
+        # same cache-resident row-chunking as the exact kernel
+        chunk = max(1, (4 << 20) // max(len(bqids), 1) // 8)
         for pdf in batches:
-            V = np.array(list(pdf["embedding"]), dtype=np.float64)
-            V /= np.linalg.norm(V, axis=1, keepdims=True)
-            S = V @ bQ.T  # (batch, nq)
-            vids = pdf["vec_id"].to_numpy()
-            out_q, out_v, out_c = [], [], []
-            for j, qid in enumerate(bqids):
-                col = S[:, j]
-                mask = vids != qid
-                idx = np.nonzero(mask)[0]
-                if len(idx) == 0:
-                    continue
-                take = idx[np.argsort(-col[idx], kind="stable")[:k]]
-                out_q.extend([qid] * len(take))
-                out_v.extend(vids[take])
-                out_c.extend(np.round(col[take], 6))
-            yield pd.DataFrame({"qid": out_q, "vid": out_v, "cos_sim": out_c})
+            V_all = np.array(list(pdf["embedding"]), dtype=np.float64)
+            V_all /= np.linalg.norm(V_all, axis=1, keepdims=True)
+            vids_all = pdf["vec_id"].to_numpy()
+            for lo in range(0, len(V_all), chunk):
+                V = V_all[lo : lo + chunk]
+                vids = vids_all[lo : lo + chunk]
+                S = V @ bQ.T  # (chunk, nq)
+                yield _local_topk_frame(pd, np, bqids, vids, np.round(S, 6), k)
 
     cand = emb.select("vec_id", "embedding").mapInPandas(
         local_topk, schema="qid long, vid long, cos_sim double"

@@ -1,7 +1,7 @@
-"""Scale probe (VERDICT r6 item 5): measure — don't argue — how the
-slow-tail keys grow with data size.
+"""Scale probe (VERDICT r6 item 5 / r7 items 1+4): measure — don't
+argue — how the slow-tail keys grow with data size.
 
-Builds a one-off ~Nx inflated corpus from sf0.1 (disjoint-replica
+Builds a one-off ~Nx inflated corpus from the base SF (disjoint-replica
 construction: every fact table is replicated with key offsets so each
 replica is an internally-identical, mutually-disjoint copy — the
 honest analog of TPC-H scaling, where entity counts grow and densities
@@ -18,17 +18,33 @@ Construction details (all deterministic, no RNG):
 - events: event_id and user_id offset per replica (user_id stays
   inside the customer key range).
 - documents: doc_id offset; text passed through a per-replica
-  character substitution (translate over 2x5 letters → 10 distinct
-  alphabets) that preserves token boundaries, lengths, and the
-  *internal* dup/near-dup structure of each replica while keeping
-  replicas mutually non-duplicate — so dedup keys see the same dup
-  RATE at Nx, not an inflated one.
+  character substitution (translate over 3x5 letters → 125 distinct
+  alphabets, enough for factor ≤ 125) that preserves token boundaries,
+  lengths, and the *internal* dup/near-dup structure of each replica
+  while keeping replicas mutually non-duplicate — so dedup keys see
+  the same dup RATE at Nx, not an inflated one.
 - embeddings: vec_id offset; each element shifted by k*1e-3 so twin
   vectors across replicas don't collapse distance structure.
+  Replica 0 is the identity map, so base-corpus vec_ids/doc_ids exist
+  verbatim at every factor — that is what lets the fixed-Q mode pin
+  one physical query set across scales.
 
-Usage:
+Modes:
     python tools/scale_probe.py [--factor 10] [--keys k1,k2,...]
-        [--rebuild]   # force data regeneration
+        End-to-end exponents (contract semantics, Q∝N for the sim
+        keys). Results land in runs["x{factor}"].
+    python tools/scale_probe.py --fixed-queries [--factor 10]
+        Per-query marginal cost for the similarity keys: times each
+        key with PINNED query sets of size q1=100 and q2=1000 at both
+        scales (same physical vectors — replica 0), then reports
+        marginal = (T(q2)-T(q1))/(q2-q1) and its scaling exponent.
+        This separates the Q∝N contract artifact from per-query cost
+        (VERDICT r7 item 1). Results land in runs["fixed_q_x{factor}"].
+    Use --factor 30 --keys graph_... for the wide-range graph probe
+    (VERDICT r7 item 4) — 30x gives a range where overhead cannot
+    masquerade as sub-linearity.
+
+Timings contaminate: run nothing else on the machine during a probe.
 """
 
 from __future__ import annotations
@@ -41,11 +57,14 @@ import shutil
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-BASE = "/root/testdata/sf0.1"
-OUT_JSON = "/root/repo/artifacts/scale_probe.json"
-DATA_ROOT = "/root/repo/artifacts/scale_probe_data"
+DEFAULT_BASE = os.environ.get(
+    "SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1"
+)
+OUT_JSON = os.path.join(REPO, "artifacts", "scale_probe.json")
+DATA_ROOT = os.path.join(REPO, "artifacts", "scale_probe_data")
 
 # The >3s tail from artifacts/bench_all.json plus the dedup/ANN
 # flagships the verdict calls out. Every key here reads only tables
@@ -73,22 +92,34 @@ DEFAULT_KEYS = [
     "vec_two_nn_dim",
 ]
 
+# Fixed-Q mode: key -> parameterized impl taking (spark, sf_dir, pred)
+FIXED_Q_KEYS = ["llm_sim_topk", "llm_sim_topk_gemm", "llm_sim_ann", "llm_sim_ivf"]
+# Pinned query-set sizes: vec_id < q, so both sets are replica-0
+# vectors present verbatim at every factor. The delta (900 queries)
+# is sized so the marginal signal clears scheduler noise even on the
+# build-dominated keys (q2-q1 ~ 40 was measurably noise-dominated at
+# base scale: a 42 ms difference on a 1.8 s IVF run).
+FIXED_Q_SIZES = (100, 1000)
+
 _VOWELS = "aeiou"
 _CONS = "bcdfg"
+_CONS2 = "hjklm"
 
 
 def _alphabet(k: int) -> tuple[str, str]:
-    """Per-replica character substitution: rotate vowels by k%5 and a
-    consonant block by k//5 — 10 distinct, length-preserving maps;
-    k=0 is the identity."""
-    r1, r2 = k % 5, k // 5 % 5
+    """Per-replica character substitution: rotate vowels by k%5, one
+    consonant block by k//5%5 and a second by k//25%5 — 125 distinct,
+    length-preserving maps; k=0 is the identity."""
+    r1, r2, r3 = k % 5, k // 5 % 5, k // 25 % 5
     return (
-        _VOWELS + _CONS,
-        _VOWELS[r1:] + _VOWELS[:r1] + _CONS[r2:] + _CONS[:r2],
+        _VOWELS + _CONS + _CONS2,
+        _VOWELS[r1:] + _VOWELS[:r1]
+        + _CONS[r2:] + _CONS[:r2]
+        + _CONS2[r3:] + _CONS2[:r3],
     )
 
 
-def build_inflated(factor: int, rebuild: bool = False) -> str:
+def build_inflated(base: str, factor: int, rebuild: bool = False) -> str:
     import duckdb
 
     out_dir = f"{DATA_ROOT}/x{factor}"
@@ -107,10 +138,10 @@ def build_inflated(factor: int, rebuild: bool = False) -> str:
         ("embeddings", "vec_id"),
     ]:
         mx[t] = con.execute(
-            f"SELECT max({key}) + 1 FROM read_parquet('{BASE}/{t}.parquet')"
+            f"SELECT max({key}) + 1 FROM read_parquet('{base}/{t}.parquet')"
         ).fetchone()[0]
     mx["user"] = con.execute(
-        f"SELECT max(user_id) + 1 FROM read_parquet('{BASE}/events.parquet')"
+        f"SELECT max(user_id) + 1 FROM read_parquet('{base}/events.parquet')"
     ).fetchone()[0]
 
     def emit(table: str, select_for_k) -> None:
@@ -121,7 +152,7 @@ def build_inflated(factor: int, rebuild: bool = False) -> str:
         )
         print(f"  built {table}.parquet x{factor}", flush=True)
 
-    src = lambda t: f"read_parquet('{BASE}/{t}.parquet')"
+    src = lambda t: f"read_parquet('{base}/{t}.parquet')"
 
     emit("lineitem", lambda k: f"""
         SELECT l_orderkey + {k * mx['orders']} AS l_orderkey,
@@ -170,93 +201,203 @@ def build_inflated(factor: int, rebuild: bool = False) -> str:
         FROM {src('embeddings')}""")
 
     for t in ("region", "nation"):
-        shutil.copy(f"{BASE}/{t}.parquet", f"{out_dir}/{t}.parquet")
+        shutil.copy(f"{base}/{t}.parquet", f"{out_dir}/{t}.parquet")
     con.close()
     open(marker, "w").write("ok\n")
     return out_dir
 
 
-def _write(factor: int, results: dict) -> None:
-    # merge with any prior run at the same factor so a --keys re-probe
-    # of one fixed key updates its row instead of dropping the rest
-    merged: dict = {}
+def _write(base: str, run_name: str, results: dict, note: str) -> None:
+    """Merge this run's rows into runs[run_name], preserving every
+    other run (so an x30 graph probe doesn't clobber the x10 table,
+    and a --keys re-probe of one key updates its row only)."""
+    out: dict = {"base": base, "runs": {}}
     if os.path.exists(OUT_JSON):
         try:
             prior = json.load(open(OUT_JSON))
-            if prior.get("factor") == factor:
-                merged = prior.get("keys", {})
+            if "runs" in prior:
+                out["runs"] = prior["runs"]
+            elif "keys" in prior:  # migrate the pre-r8 single-run layout
+                out["runs"][f"x{prior.get('factor', 10)}"] = {
+                    "note": prior.get("note", ""),
+                    "keys": prior["keys"],
+                }
         except Exception:
             pass
-    merged.update(results)
-    out = {
-        "base": BASE,
-        "factor": factor,
-        "note": "exponent = log(T_N/T_1)/log(N); median of 3 timed runs "
-        "per scale after an sf0.01 warmup, cache cleared between keys; "
-        "disjoint-replica corpus (see module docstring)",
-        "keys": merged,
-    }
+    run = out["runs"].setdefault(run_name, {"note": note, "keys": {}})
+    run["note"] = note
+    run["keys"].update(results)
     os.makedirs(os.path.dirname(OUT_JSON), exist_ok=True)
     with open(OUT_JSON, "w") as f:
         json.dump(out, f, indent=1)
+
+
+def _release_persistent_rdds(spark) -> None:
+    """clearCache() drops DataFrame-cached blocks but NOT RDDs pinned
+    by localCheckpoint (graph keys) — without this, a 20-key probe
+    accumulates checkpointed blocks in executor memory and depresses
+    later keys' timings (ADVICE r7)."""
+    spark.catalog.clearCache()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist(False)
+    except Exception as exc:  # diagnostic only — never fail the probe
+        print(f"  (persistent-RDD cleanup skipped: {exc})", flush=True)
+
+
+def _timed(spark, fn, sf: str, reps: int = 3, agg: str = "median") -> float:
+    noop = lambda df: df.write.format("noop").mode("overwrite").save()
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        noop(fn(spark, sf))
+        ts.append(time.time() - t0)
+    ts.sort()
+    # min = noise floor (used where a small DIFFERENCE of timings is
+    # the signal); median = robust central value for end-to-end rows
+    return ts[0] if agg == "min" else ts[len(ts) // 2]
+
+
+def probe_end_to_end(spark, qs, keys, base, big_dir, factor) -> dict:
+    results: dict[str, dict] = {}
+    warm_sf = os.path.join(os.path.dirname(base.rstrip("/")), "sf0.01")
+    for key in keys:
+        fn = qs[key]
+        # isolate keys from each other: cached/checkpointed blocks from
+        # the previous key otherwise skew single-run timings badly
+        _release_persistent_rdds(spark)
+        if os.path.isdir(warm_sf):
+            _timed(spark, fn, warm_sf, reps=1)  # warm codegen/JIT
+        t_base = _timed(spark, fn, base)
+        t_big = _timed(spark, fn, big_dir)
+        exp = math.log(max(t_big, 1e-3) / max(t_base, 1e-3)) / math.log(factor)
+        results[key] = {
+            "t_base_sec": round(t_base, 3),
+            f"t_x{factor}_sec": round(t_big, 3),
+            "exponent": round(exp, 3),
+        }
+        print(
+            f"  {key:28s} {t_base:7.2f}s -> {t_big:7.2f}s  exp={exp:5.2f}",
+            flush=True,
+        )
+        _write(
+            base,
+            f"x{factor}",
+            results,
+            "exponent = log(T_N/T_1)/log(N); median of 3 timed runs per "
+            "scale after an sf0.01 warmup, cache cleared between keys; "
+            "disjoint-replica corpus (see module docstring)",
+        )
+    return results
+
+
+def probe_fixed_q(spark, keys, base, big_dir, factor) -> dict:
+    """Pin the PHYSICAL query set (replica-0 vec_ids) at two sizes and
+    both scales; the per-query marginal cost (T(q2)-T(q1))/(q2-q1) and
+    its exponent across scales is the measured per-query scaling —
+    build/assignment stages cancel out of the difference."""
+    from pyspark.sql import functions as F
+
+    from etl_framework_spark.queries import corpus as corpus_q
+    from etl_framework_spark.queries import vector_q
+
+    impls = {
+        "llm_sim_topk": vector_q.exact_topk,
+        "llm_sim_topk_gemm": vector_q.gemm_topk,
+        "llm_sim_ann": vector_q.ann_topk,
+        "llm_sim_ivf": corpus_q.ivf_topk,
+    }
+    q1, q2 = FIXED_Q_SIZES
+    results: dict[str, dict] = {}
+    for key in keys:
+        impl = impls[key]
+        _release_persistent_rdds(spark)
+
+        def with_q(nq):
+            pred = F.col("vec_id") < nq  # replica-0 rows at every scale
+            return lambda s, sf: impl(s, sf, query_pred=pred)
+
+        _timed(spark, with_q(q1), base, reps=1)  # warm codegen/JIT
+        tb1 = _timed(spark, with_q(q1), base, agg="min")
+        tb2 = _timed(spark, with_q(q2), base, agg="min")
+        tB1 = _timed(spark, with_q(q1), big_dir, agg="min")
+        tB2 = _timed(spark, with_q(q2), big_dir, agg="min")
+        marg_base = max((tb2 - tb1) / (q2 - q1), 1e-6)
+        marg_big = max((tB2 - tB1) / (q2 - q1), 1e-6)
+        exp_pq = math.log(marg_big / marg_base) / math.log(factor)
+        exp_e2e = math.log(max(tB2, 1e-3) / max(tb2, 1e-3)) / math.log(factor)
+        results[key] = {
+            f"t_base_q{q1}_sec": round(tb1, 3),
+            f"t_base_q{q2}_sec": round(tb2, 3),
+            f"t_x{factor}_q{q1}_sec": round(tB1, 3),
+            f"t_x{factor}_q{q2}_sec": round(tB2, 3),
+            "marginal_ms_per_query_base": round(marg_base * 1e3, 3),
+            f"marginal_ms_per_query_x{factor}": round(marg_big * 1e3, 3),
+            "per_query_exponent": round(exp_pq, 3),
+            f"fixed_q{q2}_e2e_exponent": round(exp_e2e, 3),
+        }
+        print(
+            f"  {key:20s} marg {marg_base*1e3:7.2f} -> {marg_big*1e3:7.2f} "
+            f"ms/q  per-query exp={exp_pq:5.2f}  fixed-Q e2e exp={exp_e2e:5.2f}",
+            flush=True,
+        )
+        _write(
+            base,
+            f"fixed_q_x{factor}",
+            results,
+            f"query set PINNED to replica-0 vectors at q1={q1}/q2={q2}; "
+            "per_query_exponent = log(marginal_N/marginal_1)/log(N) where "
+            "marginal = (T(q2)-T(q1))/(q2-q1), min of 3 runs per point; "
+            "fixed_q_e2e_exponent is end-to-end at q2 (build-dominated).",
+        )
+    return results
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--keys", default=None)
+    ap.add_argument("--base", default=DEFAULT_BASE)
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument(
+        "--fixed-queries",
+        action="store_true",
+        help="per-query marginal-cost probe for the similarity keys",
+    )
     args = ap.parse_args()
-    keys = args.keys.split(",") if args.keys else DEFAULT_KEYS
 
     print(f"building x{args.factor} corpus ...", flush=True)
-    big_dir = build_inflated(args.factor, rebuild=args.rebuild)
+    big_dir = build_inflated(args.base, args.factor, rebuild=args.rebuild)
 
     from etl_framework_spark.session import get_spark
     import __spark_entry__ as ent
 
     spark = get_spark("scale-probe")
-    qs = ent.queries()
-    results: dict[str, dict] = {}
-    noop = lambda df: df.write.format("noop").mode("overwrite").save()
 
-    def timed_median(fn, sf: str, reps: int = 3) -> float:
-        ts = []
-        for _ in range(reps):
-            t0 = time.time()
-            noop(fn(spark, sf))
-            ts.append(time.time() - t0)
-        ts.sort()
-        return ts[len(ts) // 2]
-
-    for key in keys:
-        fn = qs[key]
-        # isolate keys from each other: cached/checkpointed blocks from
-        # the previous key otherwise skew single-run timings badly
-        spark.catalog.clearCache()
-        noop(fn(spark, "/root/testdata/sf0.01"))  # warm codegen/JIT
-        t_base = timed_median(fn, BASE)
-        t_big = timed_median(fn, big_dir)
-        exp = math.log(max(t_big, 1e-3) / max(t_base, 1e-3)) / math.log(
-            args.factor
-        )
-        results[key] = {
-            "t_base_sec": round(t_base, 3),
-            f"t_x{args.factor}_sec": round(t_big, 3),
-            "exponent": round(exp, 3),
-        }
+    if args.fixed_queries:
+        keys = args.keys.split(",") if args.keys else FIXED_Q_KEYS
+        bad = [k for k in keys if k not in FIXED_Q_KEYS]
+        if bad:
+            ap.error(f"--fixed-queries supports {FIXED_Q_KEYS}, not {bad}")
+        results = probe_fixed_q(spark, keys, args.base, big_dir, args.factor)
+        worst = sorted(
+            results.items(), key=lambda kv: -kv[1]["per_query_exponent"]
+        )[:5]
         print(
-            f"  {key:28s} {t_base:7.2f}s -> {t_big:7.2f}s  "
-            f"exp={exp:5.2f}",
-            flush=True,
+            "highest per-query exponents:",
+            [(k, v["per_query_exponent"]) for k, v in worst],
         )
-        _write(args.factor, results)  # incremental: survive interrupts
+    else:
+        keys = args.keys.split(",") if args.keys else DEFAULT_KEYS
+        qs = ent.queries()
+        results = probe_end_to_end(
+            spark, qs, keys, args.base, big_dir, args.factor
+        )
+        worst = sorted(results.items(), key=lambda kv: -kv[1]["exponent"])[:5]
+        print("highest exponents:", [(k, v["exponent"]) for k, v in worst])
 
     print(f"wrote {OUT_JSON}")
-    worst = sorted(
-        results.items(), key=lambda kv: -kv[1]["exponent"]
-    )[:5]
-    print("highest exponents:", [(k, v["exponent"]) for k, v in worst])
     return 0
 
 
