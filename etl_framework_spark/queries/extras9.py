@@ -541,32 +541,40 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup (the third dedup family after hashing
     and token sets): Levenshtein over 64-char prefixes, candidates
     bounded by (lang, source) blocks plus a length-difference filter
-    (|len a − len b| ≤ 16 is a free lower bound on edit distance, so
-    it prunes before the quadratic-in-64 DP runs). Same blocked-pair
-    shape as the Jaccard verify stage — never all-pairs.
+    (|len a − len b| ≤ 16 is a free lower bound on edit distance).
 
-    A second, result-preserving prune runs between the block join and
+    r8 candidate generation (VERDICT r7 item 2 — the r7 length-banded
+    join still measured exponent 1.37 because pair counts grow
+    quadratically WITHIN each (lang, source, length-band) sliver):
+    PassJoin-style positional segment filtering (Li, Deng & Feng,
+    ICDE'11 — public algorithm). Pigeonhole: if lev(x, y) ≤ τ and y is
+    partitioned into τ+1 segments, at least one segment of y occurs in
+    x as an EXACT substring whose start position shifts by at most τ.
+    With τ = 8 and both prefixes exactly 64 chars, the τ+1 = 9-segment
+    layout is FIXED (one 8-char + eight 7-char segments), so:
+      - the indexed side (larger doc_id) emits its 9 (slot, segment)
+        keys;
+      - the probe side emits, per slot, the substrings at every start
+        shift δ ∈ [−8, +8] that fits — ~140 keys/doc, LINEAR in N;
+      - candidates are equality-join matches on (lang, source, slot,
+        substring) — position-anchored 7-grams, so corpus-hot tokens
+        don't create df² buckets the way shared-token joins do.
+    Docs shorter than 64 chars (2–3%% of the corpus) can't use the
+    fixed layout; pairs touching them (both ends < 80 chars by the
+    |Δn| ≤ 16 bound) fall back to the r7 length-banded quadratic join
+    — a bounded sliver. Each qualifying pair lands in exactly one
+    branch (min(n) < 64 xor both ≥ 64).
+
+    A result-preserving prune runs between candidate generation and
     the DP: bag distance over 16-bucket char histograms (computed once
-    per doc, not per pair). max of the two directed multiset surpluses
-    lower-bounds Levenshtein, and bucket-coarsening only shrinks it,
-    so no qualifying pair is lost — the oracle stays the plain
-    formulation. ~48 integer ops per pair instead of a 64×64 DP:
-    measured 12.8s → 3.2s at sf0.1.
-
-    r7 scale fix (the 10× scale probe measured exponent 1.68 on the
-    old shape): the length band |Δn| ≤ 16 used to be a post-join
-    FILTER, so the equi-join on (lang, source) materialized full
-    O(block²) candidates. The band is now part of the JOIN KEY:
-    16-wide length buckets, with the b side exploded to its bucket ±1
-    (|Δn| ≤ 16 ⇒ |Δbucket| ≤ 1, and each qualifying pair matches on
-    exactly one of the three keys, so no dedup pass is needed).
-    Candidates shrink from block² to Σ-per-band products; growth in
-    corpus size is still quadratic WITHIN a (lang, source, 16-char
-    length band) sliver — inherent to the exact all-qualifying-pairs
-    contract, documented in SCALE.md with the measured exponent."""
+    per doc, not per pair) lower-bounds Levenshtein, and bucket-
+    coarsening only shrinks it, so no qualifying pair is lost — the
+    oracle stays the plain formulation. ~48 integer ops per candidate
+    instead of a 64×64 DP."""
     prep(spark)
     from etl_framework_spark.catalog import table as _table
 
+    TAU = 8
     d = _table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -580,43 +588,128 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(0, 15),"
             " i -> size(filter(split(pfx, ''), c -> ascii(c) % 16 = i)))"
         ),
-    ).withColumn("bkt", F.floor(F.col("n") / 16).cast("bigint"))
-    a = d.alias("a")
-    b = (
-        d.withColumn(
-            "bkt",
-            F.explode(
-                F.array(
-                    F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1
+    )
+
+    # ---- branch 1: both prefixes exactly 64 chars (n >= 64) --------
+    # fixed 9-segment layout over 64 chars: slot 0 has length 8 at
+    # position 1; slots 1..8 have length 7 at position 7j + 2
+    def _slot(j: int) -> tuple[int, int]:
+        return (1, 8) if j == 0 else (7 * j + 2, 7)
+
+    long_d = d.filter(F.col("n") >= 64)
+    idx_keys = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("slot"),
+                F.substring("pfx", _slot(j)[0], _slot(j)[1]).alias("sub"),
+            )
+            for j in range(TAU + 1)
+        ]
+    )
+    probe_structs = []
+    for j in range(TAU + 1):
+        start, ln = _slot(j)
+        for delta in range(-TAU, TAU + 1):
+            pos = start + delta
+            if pos < 1 or pos + ln - 1 > 64:
+                continue
+            probe_structs.append(
+                F.struct(
+                    F.lit(j).alias("slot"),
+                    F.substring("pfx", pos, ln).alias("sub"),
                 )
-            ),
+            )
+    probe_keys = F.array(*probe_structs)
+    idx = long_d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("__l2"),
+        F.col("source").alias("__s2"),
+        F.explode(idx_keys).alias("sg"),
+    ).select("id_b", "__l2", "__s2", "sg.slot", "sg.sub")
+    prb = long_d.select(
+        F.col("doc_id").alias("id_a"),
+        "lang",
+        "source",
+        F.explode(probe_keys).alias("sg"),
+    ).select(
+        "id_a",
+        "lang",
+        "source",
+        F.col("sg.slot").alias("__slot"),
+        F.col("sg.sub").alias("__sub"),
+    )
+    pairs_long = (
+        prb.join(
+            idx,
+            (F.col("lang") == F.col("__l2"))
+            & (F.col("source") == F.col("__s2"))
+            & (F.col("__slot") == F.col("slot"))
+            & (F.col("__sub") == F.col("sub"))
+            & (F.col("id_a") < F.col("id_b")),
         )
+        .groupBy("id_a", "id_b")  # a pair can match several slots
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .drop("__m")
+    )
+    attrs = lambda side: d.select(
+        F.col("doc_id").alias(f"id_{side}"),
+        F.col("pfx").alias(f"__pfx_{side}"),
+        F.col("n").alias(f"__n_{side}"),
+        F.col("hist").alias(f"__h_{side}"),
+    )
+    cand_long = pairs_long.join(attrs("a"), "id_a").join(attrs("b"), "id_b")
+
+    # ---- branch 2: pairs touching a short doc (min(n) < 64) --------
+    # both ends are < 80 by |Δn| <= 16; r7 length-banded join, scoped
+    # to this bounded sliver
+    short_d = d.filter(F.col("n") < 64 + 16).withColumn(
+        "bkt", F.floor(F.col("n") / 16).cast("bigint")
+    )
+    sa = short_d.alias("a")
+    sb = short_d.withColumn(
+        "bkt",
+        F.explode(F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)),
     ).alias("b")
-    lb1 = F.expr(
-        "aggregate(zip_with(a.hist, b.hist, (x, y) -> greatest(x - y, 0)),"
-        " 0, (acc, v) -> acc + v)"
-    )
-    lb2 = F.expr(
-        "aggregate(zip_with(a.hist, b.hist, (x, y) -> greatest(y - x, 0)),"
-        " 0, (acc, v) -> acc + v)"
-    )
-    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
-    return (
-        a.join(
-            b,
+    cand_short = (
+        sa.join(
+            sb,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.bkt") == F.col("b.bkt"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n") - F.col("b.n")) <= 16),
+            & (F.least(F.col("a.n"), F.col("b.n")) < 64),
         )
-        .filter(F.greatest(lb1, lb2) <= 8)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
+            F.col("a.pfx").alias("__pfx_a"),
+            F.col("a.n").alias("__n_a"),
+            F.col("a.hist").alias("__h_a"),
+            F.col("b.pfx").alias("__pfx_b"),
+            F.col("b.n").alias("__n_b"),
+            F.col("b.hist").alias("__h_b"),
+        )
+    )
+
+    cand = cand_long.select(cand_short.columns).unionAll(cand_short)
+    lb1 = F.expr(
+        "aggregate(zip_with(__h_a, __h_b, (x, y) -> greatest(x - y, 0)),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    lb2 = F.expr(
+        "aggregate(zip_with(__h_a, __h_b, (x, y) -> greatest(y - x, 0)),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    dist = F.levenshtein(F.col("__pfx_a"), F.col("__pfx_b"))
+    return (
+        cand.filter(F.abs(F.col("__n_a") - F.col("__n_b")) <= 16)
+        .filter(F.greatest(lb1, lb2) <= TAU)
+        .select(
+            "id_a",
+            "id_b",
             dist.cast("bigint").alias("prefix_dist"),
         )
-        .filter(F.col("prefix_dist") <= 8)
+        .filter(F.col("prefix_dist") <= TAU)
     )
 
 
