@@ -1,40 +1,49 @@
-"""Pin the registry's first-50 head (VERDICT r5 item 4, r6 item 1).
+"""Pin the registry's driver head (VERDICT r5 item 4, r6 item 1, r7
+item 5).
 
 The external driver's CORRECTNESS_r{N}.json truncates at the first 50
 registry keys (dict insertion order), so only those get the hard
-per-round oracle signal. Round 6's verdict asked for the head to span
-all 11 SURVEY §2 families with ZERO rows-only keys, so the driver's
-own record shows 50/50 hash-checked rows. queries/__init__.py now
-reorders the registry explicitly (_DRIVER_HEAD); this test freezes
-that head. If this test fails, _DRIVER_HEAD drifted or a core key was
-renamed.
+per-round oracle signal. The head is 45 PINNED family representatives
+(all 11 SURVEY §2 families, exact DuckDB oracles only) plus 5 slots
+that registry.rotation_slots() rotates each round through exact-oracle
+keys no past driver record has seen. This test freezes the 45 and
+re-derives the rotation with the same public rule — if it fails,
+either the pinned list drifted, a core key was renamed, or the
+rotation stopped being deterministic.
 """
 
 from __future__ import annotations
 
-import etl_framework_spark.queries  # noqa: F401 — triggers registration
-from etl_framework_spark.registry import ORACLES, QUERIES
+import re
 
-# The canonical head: every SURVEY §2 family (S/P/J/O/U/A/W/F/T/X/L)
-# represented, every key carrying an exact DuckDB oracle. Evicted from
-# the r5 head: agg_approx_distinct, fn_hash_native,
-# llm_dedup_minhash_fast (rows-only by design → zero driver signal),
-# llm_simhash (scorer twin of llm_dedup_simhash), agg_cube (same §2
-# row as agg_rollup). All five stay registered and oracle-swept
-# locally — only their driver-head slots moved.
-EXPECTED_HEAD = [
+import etl_framework_spark.queries as q  # noqa: F401 — triggers registration
+from etl_framework_spark.queries import DRIVER_HEAD_PINNED
+from etl_framework_spark.registry import (
+    ORACLES,
+    QUERIES,
+    driver_recorded_keys,
+    rotation_slots,
+)
+
+# The canonical pinned head: every SURVEY §2 family (S/P/J/O/U/A/W/F/
+# T/X/L) represented, every key carrying an exact DuckDB oracle.
+# Demoted to the rotation pool in r8 (all already green in a past
+# driver record): join_cross, set_union_all, agg_conditional,
+# win_moving_avg, fn_math. Evicted in r5/r6 and still registered:
+# agg_approx_distinct, fn_hash_native, llm_dedup_minhash_fast,
+# llm_simhash, agg_cube.
+EXPECTED_PINNED = [
     "scan_parquet", "project_expr", "filter_pred", "case_when",
     "distinct_proj",
     "join_inner", "join_outer", "join_semi", "join_anti",
-    "join_broadcast", "join_cross", "join_range", "join_interval",
+    "join_broadcast", "join_range", "join_interval",
     "join_star", "join_asof",
-    "topk", "set_union_all", "set_union", "set_intersect", "set_except",
+    "topk", "set_union", "set_intersect", "set_except",
     "agg_groupby", "agg_global", "agg_count_distinct", "agg_rollup",
-    "agg_conditional", "agg_collect", "agg_median", "agg_stats",
-    "agg_pivot",
-    "win_rank", "win_lag_lead", "win_running_sum", "win_moving_avg",
+    "agg_collect", "agg_median", "agg_stats", "agg_pivot",
+    "win_rank", "win_lag_lead", "win_running_sum",
     "win_range_frame", "win_topk_group",
-    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map", "fn_json",
+    "fn_string", "fn_date", "fn_array", "fn_map", "fn_json",
     "fn_hash",
     "stream_tumbling", "stream_session",
     "udaf_geomean",
@@ -43,35 +52,78 @@ EXPECTED_HEAD = [
 ]
 
 
-def test_head_is_pinned() -> None:
-    assert list(QUERIES)[:50] == EXPECTED_HEAD
+def test_pinned_head_is_frozen() -> None:
+    assert DRIVER_HEAD_PINNED == EXPECTED_PINNED
+    assert list(QUERIES)[:45] == EXPECTED_PINNED
+
+
+def test_rotation_slots_fill_the_head() -> None:
+    """head[45:50] must equal the deterministic rotation for the
+    current round: 5 exact-oracle keys, none pinned, and — while the
+    fresh pool lasts — none seen in any past driver record."""
+    head = list(QUERIES)[:50]
+    rot = head[45:]
+    assert rot == rotation_slots(EXPECTED_PINNED)
+    assert len(rot) == len(set(rot)) == 5
+    assert not set(rot) & set(EXPECTED_PINNED)
+    for key in rot:
+        assert ORACLES.get(key), f"rotating key {key} has no exact oracle"
+    seen = driver_recorded_keys()
+    fresh_pool = [
+        k for k in QUERIES
+        if k in ORACLES and k not in EXPECTED_PINNED and k not in seen
+    ]
+    if len(fresh_pool) >= 5:
+        assert not set(rot) & seen, (
+            "rotation picked already-driven keys while fresh ones remain"
+        )
 
 
 def test_head_oracle_coverage() -> None:
     """Every head key carries an exact DuckDB oracle (r6 item 1: the
     driver's 50-row record must contain zero no_oracle rows)."""
-    for key in EXPECTED_HEAD:
+    for key in list(QUERIES)[:50]:
         assert ORACLES.get(key), f"head key {key} lost its oracle"
 
 
-def test_evicted_keys_still_registered() -> None:
-    """Head eviction must not remove keys from the contract surface."""
+def test_demoted_keys_still_registered() -> None:
+    """Head demotion/eviction must not remove keys from the contract."""
     for key in (
+        "join_cross", "set_union_all", "agg_conditional", "win_moving_avg",
+        "fn_math",
         "agg_approx_distinct", "fn_hash_native", "llm_dedup_minhash_fast",
         "llm_simhash", "agg_cube",
     ):
-        assert key in QUERIES, f"evicted head key {key} fell out of registry"
+        assert key in QUERIES, f"demoted key {key} fell out of registry"
+
+
+def _headline_counts() -> tuple[int, int]:
+    n_keys = len(QUERIES)
+    n_oracles = sum(1 for k in QUERIES if ORACLES.get(k))
+    return n_keys, n_oracles
 
 
 def test_readme_counts_match_registry() -> None:
     """README's headline key/oracle counts must track the registry
     (ADVICE r5: stale counts shipped twice). The claim line is
     '(current: N contract keys / M exact oracles)'."""
-    n_keys = len(QUERIES)
-    n_oracles = sum(1 for k in QUERIES if ORACLES.get(k))
+    n_keys, n_oracles = _headline_counts()
     with open("/root/repo/README.md") as f:
         readme = f.read()
     assert f"{n_keys} contract keys / {n_oracles} exact oracles" in readme, (
         f"README count line stale: registry has {n_keys} keys / "
+        f"{n_oracles} oracles"
+    )
+
+
+def test_coverage_md_counts_match_registry() -> None:
+    """COVERAGE.md's headline counts must track the registry too
+    (VERDICT r7 item 7: its header shipped stale while only README was
+    tested). COVERAGE.md states the same canonical count line."""
+    n_keys, n_oracles = _headline_counts()
+    with open("/root/repo/COVERAGE.md") as f:
+        cov = f.read()
+    assert f"{n_keys} contract keys / {n_oracles} exact oracles" in cov, (
+        f"COVERAGE.md count line stale: registry has {n_keys} keys / "
         f"{n_oracles} oracles"
     )
