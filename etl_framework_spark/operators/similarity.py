@@ -156,6 +156,20 @@ def blocked_cosine_pairs(df, block_col: str, tau: float):
 _MAX_ANCHOR_COLLECT = 100_000
 
 
+def anchor_modulus(n_vectors: int, max_anchors: int = _MAX_ANCHOR_COLLECT) -> int:
+    """Deterministic 1-in-m anchor sampling modulus for the anchor_knn
+    consumers (VERDICT r7 item 6): the smallest modulus ≥ 5 that keeps
+    ~n/m anchors inside the collect guard. Equals 5 through n =
+    5·max_anchors = 500k vectors — every oracle-checked SF, so the
+    static `vec_id % 5` SQL oracles stay exact there — and grows
+    linearly with N past that, pinning the anchor count (the hubness /
+    TwoNN estimators only need a bounded sample regardless of corpus
+    size). One bounded count() sizes it at build time."""
+    import math
+
+    return max(5, math.ceil(n_vectors / max_anchors))
+
+
 def anchor_knn(cand_df, anchor_df, k: int, quant: float,
                id_col: str = "vec_id", vec_col: str = "embedding"):
     """k nearest candidates per anchor by quantized squared-L2.

@@ -214,14 +214,16 @@ def vec_two_nn_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # see operators/similarity.anchor_knn for the bit-parity argument.
     # qd2/1e9 reproduces the oracle's floor(d2*1e9 + 0.5)/1e9 exactly
     # (int64 → double is exact below 2^53; the division is one IEEE op)
-    # SF CEILING (ADVICE r6): the modulus is pinned at 5 so the static
-    # SQL oracle samples identically; with anchor_knn's 100k collect
-    # guard that caps the corpus at 500k vectors (sf≈5). Past that the
-    # guard raises loudly — raise the modulus HERE and in the oracle's
-    # `vec_id % 5` together.
+    # r8 (VERDICT r7 item 6): the modulus is derived from the corpus
+    # size — anchor_modulus() returns 5 at every oracle-checked SF
+    # (static `vec_id % 5` oracle stays exact through 500k vectors)
+    # and grows with N past that, pinning the anchor count at scale.
+    from etl_framework_spark.operators.similarity import anchor_modulus
+
+    mod = anchor_modulus(v.count())
     local = anchor_knn(
         v.repartition(32),
-        v.filter(F.col("vec_id") % 5 == 0),
+        v.filter(F.col("vec_id") % mod == 0),
         k=2,
         quant=1e9,
     )

@@ -1,0 +1,70 @@
+"""ANN / IVF recall asserted at TWO corpus scales (VERDICT r7 item 8).
+
+The sf0.1 recall tests alone cannot show that bucketing quality holds
+as the corpus grows; these re-assert the same better-than-chance
+ratio on the 10× disjoint-replica probe corpus (built by
+tools/scale_probe.py and cached under artifacts/scale_probe_data/x10).
+Skips cleanly when the probe corpus hasn't been built — the per-round
+scale probe builds it, so CI-after-probe always exercises both rows.
+
+Chance = the scanned corpus fraction (a random candidate set of the
+same size would hit that recall in expectation); both approximate
+paths must beat it by 1.5× at every scale. The corpus is near-uniform
+(true neighbors at cos≈0.45, barely above random), so absolute recall
+is low by nature — the RATIO is the scale-invariant property.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as ent
+from etl_framework_spark.catalog import table
+
+SF_MID = "/root/testdata/sf0.01"
+X10 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts", "scale_probe_data", "x10",
+)
+_SCALES = [SF_MID] + (
+    [X10] if os.path.exists(os.path.join(X10, ".complete")) else []
+)
+
+
+def _exact_pairs(spark, sf):
+    return {
+        (r.qid, r.vid)
+        for r in ent.queries()["llm_sim_topk"](spark, sf).collect()
+    }
+
+
+@pytest.mark.parametrize("sf", _SCALES)
+def test_ann_recall_ratio_holds_at_scale(spark, sf):
+    from etl_framework_spark.operators.similarity import ann_params
+
+    exact = _exact_pairs(spark, sf)
+    ann = {
+        (r.qid, r.vid)
+        for r in ent.queries()["llm_sim_ann"](spark, sf).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    n = table(spark, sf, "embeddings").count()
+    p, n_buckets = ann_params(n)
+    scan_fraction = (p + 1) / n_buckets  # own bucket + P Hamming-1 probes
+    assert recall > 1.5 * scan_fraction, (sf, recall, scan_fraction)
+
+
+@pytest.mark.parametrize("sf", _SCALES)
+def test_ivf_recall_ratio_holds_at_scale(spark, sf):
+    exact = _exact_pairs(spark, sf)
+    ivf = {
+        (r.qid, r.vid)
+        for r in ent.queries()["llm_sim_ivf"](spark, sf).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    n = table(spark, sf, "embeddings").count()
+    buckets = max(1, int(n**0.5) // 10)  # same sizing rule as ivf_topk
+    scan_fraction = 3 / (10 * buckets)  # nprobe=3 of ~10*buckets cells
+    assert recall > 1.5 * scan_fraction, (sf, recall, scan_fraction)
