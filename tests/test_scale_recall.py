@@ -68,3 +68,24 @@ def test_ivf_recall_ratio_holds_at_scale(spark, sf):
     buckets = max(1, int(n**0.5) // 10)  # same sizing rule as ivf_topk
     scan_fraction = 3 / (10 * buckets)  # nprobe=3 of ~10*buckets cells
     assert recall > 1.5 * scan_fraction, (sf, recall, scan_fraction)
+
+
+@pytest.mark.parametrize("sf", _SCALES)
+def test_sq8_recall_and_true_cosines(spark, sf):
+    """SQ8 is a scan accelerator, not a pruning index: int8
+    quantization on 64 dims must barely dent recall (≥0.9 of the
+    exact top-k at every scale), and the rescore stage must report
+    TRUE cosines on the overlap."""
+    exact = {
+        (r.qid, r.vid): r.cos_sim
+        for r in ent.queries()["llm_sim_topk"](spark, sf).collect()
+    }
+    sq8 = {
+        (r.qid, r.vid): r.cos_sim
+        for r in ent.queries()["llm_sim_sq8"](spark, sf).collect()
+    }
+    overlap = set(exact) & set(sq8)
+    recall = len(overlap) / len(exact)
+    assert recall >= 0.9, (sf, recall)
+    for pair in overlap:
+        assert abs(exact[pair] - sq8[pair]) < 1e-9
