@@ -93,7 +93,13 @@ DEFAULT_KEYS = [
 ]
 
 # Fixed-Q mode: key -> parameterized impl taking (spark, sf_dir, pred)
-FIXED_Q_KEYS = ["llm_sim_topk", "llm_sim_topk_gemm", "llm_sim_ann", "llm_sim_ivf"]
+FIXED_Q_KEYS = [
+    "llm_sim_topk",
+    "llm_sim_topk_gemm",
+    "llm_sim_ann",
+    "llm_sim_ivf",
+    "llm_sim_sq8",
+]
 # Pinned query-set sizes: vec_id < q, so both sets are replica-0
 # vectors present verbatim at every factor. The delta (900 queries)
 # is sized so the marginal signal clears scheduler noise even on the
@@ -307,6 +313,7 @@ def probe_fixed_q(spark, keys, base, big_dir, factor) -> dict:
         "llm_sim_topk_gemm": vector_q.gemm_topk,
         "llm_sim_ann": vector_q.ann_topk,
         "llm_sim_ivf": corpus_q.ivf_topk,
+        "llm_sim_sq8": vector_q.sq8_topk,
     }
     q1, q2 = FIXED_Q_SIZES
     results: dict[str, dict] = {}
