@@ -34,10 +34,26 @@ def main() -> None:
         qs[key](spark, args.sf).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    def release_blocks() -> None:
+        # clearCache drops DataFrame caches but NOT RDDs pinned by
+        # localCheckpoint (iterative graph keys) or per-call persist()
+        # — without this, blocks accumulate across the 615-key sweep
+        # and depress later keys (same fix as tools/scale_probe.py;
+        # the r8 sweep measured graph_khop_reach at 22.7 s in-sweep
+        # vs 7.3 s isolated before this cleanup existed).
+        spark.catalog.clearCache()
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jmap.values()):
+                jrdd.unpersist(False)
+        except Exception:
+            pass
+
     run("agg_groupby")  # session warmup, untimed
     times: dict[str, float] = {}
     failures: dict[str, str] = {}
     for key in sorted(qs):
+        release_blocks()
         try:
             # same methodology as bench.py: one untimed warmup (plan
             # compile + codegen), then median of 3 — min-of-2 was still
