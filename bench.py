@@ -17,6 +17,16 @@ steady). 2 warmups + median-of-5 reproduces to ~1%: 5.736 / 5.729 s
 consecutive. Registry import is ~0.9 s for 612 keys, once, before
 any timing starts — not per-query overhead; the round-5 "+10% drift"
 was exactly this cold-run sampling noise, not a plan change.
+
+Round 9: the JSON line also carries ``calibration`` — the median of 5
+runs of a fixed, registry- and data-independent micro-workload (a
+10^7-row range → expression projection → 1024-group shuffle agg, all
+JVM codegen). Same code, same machine state ⇒ same calibration; a
+round-over-round headline delta whose calibration moved by a similar
+ratio is machine drift, not a regression. BASELINE.md documents the
+normalization: compare time[key]/calibration across rounds, not raw
+seconds (the r8 "+3%" verdict discussion would have been self-evident
+noise with this denominator).
 """
 
 from __future__ import annotations
@@ -58,7 +68,29 @@ def main() -> None:
         qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    def cal_run() -> float:
+        # fixed machine-state denominator: registry/data-independent,
+        # exercises codegen + hash-agg + a real shuffle
+        t0 = time.time()
+        (
+            spark.range(0, 10_000_000, 1, 32)
+            .selectExpr(
+                "id % 1024 AS g",
+                "id * 2654435761 % 97 AS h",
+                "sin(cast(id AS DOUBLE) / 1e6) AS s",
+            )
+            .groupBy("g")
+            .agg({"h": "sum", "s": "avg"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.time() - t0
+
     run("agg_groupby")  # session warmup, untimed
+    cal_run()
+    cal_run()
+    calibration = round(sorted(cal_run() for _ in range(5))[2], 3)
     times: dict[str, float] = {}
     for key in HEADLINE:
         # two untimed warmups: the first compiles the plan + codegen,
@@ -78,6 +110,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "calibration": calibration,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -14,6 +14,7 @@ the O(n·m) scan into bucket-local joins.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 from pyspark.sql import Column
@@ -156,7 +157,7 @@ def blocked_cosine_pairs(df, block_col: str, tau: float):
 _MAX_ANCHOR_COLLECT = 100_000
 
 
-def anchor_modulus(n_vectors: int, max_anchors: int = _MAX_ANCHOR_COLLECT) -> int:
+def anchor_modulus(n_vectors: int, max_anchors: int | None = None) -> int:
     """Deterministic 1-in-m anchor sampling modulus for the anchor_knn
     consumers (VERDICT r7 item 6): the smallest modulus ≥ 5 that keeps
     ~n/m anchors inside the collect guard. Equals 5 through n =
@@ -164,10 +165,37 @@ def anchor_modulus(n_vectors: int, max_anchors: int = _MAX_ANCHOR_COLLECT) -> in
     static `vec_id % 5` SQL oracles stay exact there — and grows
     linearly with N past that, pinning the anchor count (the hubness /
     TwoNN estimators only need a bounded sample regardless of corpus
-    size). One bounded count() sizes it at build time."""
+    size). One bounded count() sizes it at build time. ``max_anchors``
+    resolves against the module attribute at CALL time so the growth
+    branch is exercisable on real data at test scale (r8 item 4)."""
     import math
 
+    if max_anchors is None:
+        max_anchors = _MAX_ANCHOR_COLLECT
     return max(5, math.ceil(n_vectors / max_anchors))
+
+
+_ORACLE_ANCHOR_MOD = 5
+ANCHOR_GROWTH_ENV = "SPARK_GRAFT_ALLOW_ANCHOR_GROWTH"
+
+
+def anchor_modulus_locked(n_vectors: int) -> int:
+    """anchor_modulus with the oracle-lockstep guard (ADVICE r8): the
+    consumers' registered SQL oracles hard-code ``vec_id % 5``, exact
+    through 500k vectors. Past that the Spark side would silently
+    diverge from its oracle, so raise LOUDLY — restoring the old
+    collect-guard's failure mode — unless the caller explicitly opted
+    into the rows-only growth regime (the scale probe and the
+    growth-path test set SPARK_GRAFT_ALLOW_ANCHOR_GROWTH=1)."""
+    mod = anchor_modulus(n_vectors)
+    if mod != _ORACLE_ANCHOR_MOD and not os.environ.get(ANCHOR_GROWTH_ENV):
+        raise ValueError(
+            f"anchor modulus {mod} (n_vectors={n_vectors}) diverges from "
+            f"the static `vec_id % {_ORACLE_ANCHOR_MOD}` SQL oracle; this "
+            f"corpus is past the oracle-exact regime — set "
+            f"{ANCHOR_GROWTH_ENV}=1 for rows-only scale runs"
+        )
+    return mod
 
 
 def anchor_knn(cand_df, anchor_df, k: int, quant: float,

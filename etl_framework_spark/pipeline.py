@@ -319,6 +319,7 @@ def _validate_step(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
     the same checks on the *sink* spec as ``"validate": [...]``
     (observe()-based; no 'unique' — distinct aggs can't ride observe).
     """
+    # bounded: global agg, exactly one row crosses to the driver
     row = df.agg(*_check_aggs(checks)).collect()[0].asDict()
     failures = _check_failures(row, checks)
     if failures:

@@ -19,6 +19,7 @@ from etl_framework_spark.session import prep
 VOCAB_TOP = 100
 BIGRAM_TOP = 50
 TFIDF_DOCS = 50  # doc_id bound for the per-doc TF-IDF output
+NPROBE = 3  # IVF cells probed per query (code + docstring + recall test)
 
 
 @query(
@@ -136,8 +137,10 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-style ANN (L3 scale path, complement to sign-LSH): coarse
     quantizer = (label x projection-quantile-bucket) cells; queries
-    probe the nprobe=3 cells whose centroids are most similar. Join cost is
-    cell-local; recall asserted vs exact in unit tests.
+    probe the NPROBE (=3) cells whose centroids are most similar.
+    Join cost is cell-local; recall asserted vs exact in unit tests
+    (tests/test_scale_recall.py imports the same constant for its
+    scanned-fraction chance model).
 
     r7: cell count scales ~sqrt(N) (standard IVF sizing) with
     QUANTILE cuts on a fixed deterministic projection -- random
@@ -153,8 +156,10 @@ def ivf_topk(
         materialization -- ADVICE r7), one pass for cell centroids.
         O(N*dim) total, linear.
       - probe: each query scores only the sqrt(N)-sized centroid set
-        (Q*sqrt(N) work) and joins candidates from its 2 best cells
-        (2*N/cells ~ 2*sqrt(N)*10/labels per query).
+        (Q*sqrt(N) work) and joins candidates from its NPROBE best
+        cells plus its own assignment cell (r9 — queries are corpus
+        members; see inline comment), ≤ (NPROBE+1)*N/cells ~
+        (NPROBE+1)*sqrt(N)*10/labels per query.
     The fixed-Q scale probe measures the per-query marginal cost
     directly (tools/scale_probe.py --fixed-queries); the centroid
     model stays broadcastable (~sqrt(N)*dim doubles; 10^5 cells x 64
@@ -218,8 +223,15 @@ def ivf_topk(
         ],
         "cell int, centroid array<double>",
     )
-    q = emb.filter(query_pred).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    # queries are corpus members, so their assignment cell is known —
+    # probe it ALWAYS, plus the NPROBE best-centroid cells (r9: in a
+    # near-uniform corpus, centroid ranking alone missed the own cell
+    # for ~half the queries, costing planted-near-duplicate recall
+    # 0.56 → ≥0.9; ≤ +1 cell per query, same complexity class)
+    q = assign.filter(query_pred).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("cell").alias("own_cell"),
     )
     csim = (
         dot_fold(F.col("qe"), F.col("centroid"))
@@ -228,9 +240,9 @@ def ivf_topk(
     w_cell = W.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cell"))
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .select("qid", "qe", "cell", csim)
+        .select("qid", "qe", "own_cell", "cell", csim)
         .withColumn("crnk", F.row_number().over(w_cell))
-        .filter(F.col("crnk") <= 3)
+        .filter((F.col("crnk") <= NPROBE) | (F.col("cell") == F.col("own_cell")))
         .select("qid", "qe", "cell")
     )
     cand = assign.join(F.broadcast(probes), "cell").filter(

@@ -170,9 +170,13 @@ def vec_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (static `vec_id % 5` oracle stays exact through 500k vectors)
     # and grows with N past that, so the key runs at any scale with a
     # pinned anchor count instead of tripping the collect guard.
-    from etl_framework_spark.operators.similarity import anchor_modulus
+    # r9 (ADVICE r8): _locked raises loudly when the modulus leaves
+    # the oracle-exact regime unless the rows-only growth env is set.
+    from etl_framework_spark.operators.similarity import (
+        anchor_modulus_locked,
+    )
 
-    mod = anchor_modulus(e.count())
+    mod = anchor_modulus_locked(e.count())
     local = anchor_knn(
         e.repartition(32),
         e.filter(F.col("vec_id") % mod == 0),

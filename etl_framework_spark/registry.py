@@ -52,18 +52,43 @@ import hashlib as _hashlib
 import json as _json
 import os as _os
 import re as _re
+import subprocess as _subprocess
 
 _REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 
 N_ROTATING = 5
 
 
+def _record_files(repo_root: str = _REPO_ROOT) -> list[str]:
+    """Paths of the COMMITTED driver records (git-tracked
+    CORRECTNESS_r*.json). Restricting to tracked names makes the
+    registry head a pure function of the commit — an untracked record
+    the driver just wrote to the working tree can't shift it (ADVICE
+    r8). Falls back to a plain glob when git is unavailable (sdist
+    install, exported tree)."""
+    try:
+        out = _subprocess.run(
+            ["git", "-C", repo_root, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if out.returncode == 0:
+            return [
+                _os.path.join(repo_root, f) for f in out.stdout.split()
+            ]
+    except Exception:
+        pass
+    return _glob.glob(_os.path.join(repo_root, "CORRECTNESS_r*.json"))
+
+
 def current_round(repo_root: str = _REPO_ROOT) -> int:
     """The round now in progress, inferred from the committed driver
-    artifacts: highest CORRECTNESS_r{N}.json + 1 (1 on a bare tree).
-    Deterministic for everyone importing the same checkout."""
+    artifacts: highest tracked CORRECTNESS_r{N}.json + 1 (1 on a bare
+    tree). Deterministic for everyone importing the same commit.
+    Informational only — the rotation no longer consumes it."""
     rounds = [0]
-    for f in _glob.glob(_os.path.join(repo_root, "CORRECTNESS_r*.json")):
+    for f in _record_files(repo_root):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", f)
         if m:
             rounds.append(int(m.group(1)))
@@ -71,9 +96,9 @@ def current_round(repo_root: str = _REPO_ROOT) -> int:
 
 
 def driver_recorded_keys(repo_root: str = _REPO_ROOT) -> set[str]:
-    """Every key that has appeared in ANY past driver record."""
+    """Every key that has appeared in ANY committed driver record."""
     seen: set[str] = set()
-    for f in _glob.glob(_os.path.join(repo_root, "CORRECTNESS_r*.json")):
+    for f in _record_files(repo_root):
         try:
             with open(f) as fh:
                 seen.update(_json.load(fh).keys())
@@ -84,29 +109,28 @@ def driver_recorded_keys(repo_root: str = _REPO_ROOT) -> set[str]:
 
 def rotation_slots(
     pinned: list[str],
-    round_no: int | None = None,
     n: int = N_ROTATING,
     repo_root: str = _REPO_ROOT,
+    seen: set[str] | None = None,
 ) -> list[str]:
-    """This round's rotating head slots. Pool = exact-oracle keys not
-    pinned; keys already in a past driver record are deferred until
-    the fresh pool is exhausted. Order = md5(key) (a fixed
-    pseudorandom permutation, so consecutive rounds sample unrelated
-    families); the window advances n slots per round and wraps."""
-    if round_no is None:
-        round_no = current_round(repo_root)
-    seen = driver_recorded_keys(repo_root)
+    """This round's rotating head slots: the first ``n`` keys of the
+    md5-permuted pool, fresh-first. Pool = exact-oracle keys not
+    pinned; keys already in a committed driver record sort to the
+    tail. There is NO explicit round offset: once the driver records
+    this round's slots they leave the fresh prefix, so consecutive
+    rounds advance through the pool naturally and provably exhaust
+    every fresh key before any repeat (ADVICE r8: the old
+    ``(round-1)*n`` offset could skip past fresh keys while re-picking
+    seen ones). ``seen`` is injectable for simulation tests."""
+    if seen is None:
+        seen = driver_recorded_keys(repo_root)
     pool = sorted(
         (k for k in QUERIES if k in ORACLES and k not in pinned),
         key=lambda k: _hashlib.md5(k.encode()).hexdigest(),
     )
     fresh = [k for k in pool if k not in seen]
     ordered = fresh + [k for k in pool if k in seen]
-    if not ordered:
-        return []
-    off = ((round_no - 1) * n) % len(ordered)
-    win = ordered[off:] + ordered[:off]
-    return win[:n]
+    return ordered[:n]
 
 
 def finalize_head(pinned: list[str], n: int = N_ROTATING) -> list[str]:

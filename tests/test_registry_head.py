@@ -119,7 +119,9 @@ def test_readme_counts_match_registry() -> None:
 def test_coverage_md_counts_match_registry() -> None:
     """COVERAGE.md's headline counts must track the registry too
     (VERDICT r7 item 7: its header shipped stale while only README was
-    tested). COVERAGE.md states the same canonical count line."""
+    tested). COVERAGE.md states the same canonical count line, and
+    (r8 item 2) its rows-only sentence must equal n_keys − n_oracles
+    and its arithmetic line must spell out the same subtraction."""
     n_keys, n_oracles = _headline_counts()
     with open("/root/repo/COVERAGE.md") as f:
         cov = f.read()
@@ -127,3 +129,62 @@ def test_coverage_md_counts_match_registry() -> None:
         f"COVERAGE.md count line stale: registry has {n_keys} keys / "
         f"{n_oracles} oracles"
     )
+    n_rows_only = n_keys - n_oracles
+    assert f"{n_rows_only} keys are\nrows-only by design" in cov, (
+        f"COVERAGE.md rows-only sentence stale: registry implies "
+        f"{n_rows_only} rows-only keys"
+    )
+    assert f"({n_rows_only} = {n_keys} − {n_oracles})" in cov, (
+        "COVERAGE.md rows-only arithmetic line stale"
+    )
+
+
+def test_rotation_exhausts_fresh_pool_before_repeat() -> None:
+    """Forward-simulate the rotation to pool exhaustion (ADVICE r8
+    medium): starting from the committed driver records, repeatedly
+    take this round's slots and mark them recorded. Every round's
+    slots must be entirely fresh until the fresh pool is exhausted —
+    the old (round−1)·n offset violated this around round 59."""
+    seen = set(driver_recorded_keys())
+    pool = {
+        k for k in QUERIES
+        if k in ORACLES and k not in EXPECTED_PINNED
+    }
+    rounds = 0
+    while pool - seen:
+        slots = rotation_slots(EXPECTED_PINNED, seen=seen)
+        fresh = pool - seen
+        take = min(len(fresh), len(slots))
+        assert set(slots[:take]) <= fresh, (
+            f"simulated round {rounds} picked a recorded key while "
+            f"{len(fresh)} fresh keys remain: {slots}"
+        )
+        seen.update(slots)
+        rounds += 1
+        assert rounds < 10_000, "rotation failed to converge"
+    # exhausted pool still yields n slots (now legitimately repeats)
+    assert len(rotation_slots(EXPECTED_PINNED, seen=seen)) == 5
+
+
+def test_rotation_disjoint_from_all_committed_records() -> None:
+    """VERDICT r8 item 5: while ≥5 fresh keys remain, the 5 rotation
+    slots must be disjoint from EVERY committed CORRECTNESS_r*.json
+    key — read the artifacts directly, not via the helper, so a
+    driver_recorded_keys() regression can't mask a repeat."""
+    import glob
+    import json
+
+    recorded: set[str] = set()
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            recorded.update(json.load(fh).keys())
+    fresh_pool = [
+        k for k in QUERIES
+        if k in ORACLES and k not in EXPECTED_PINNED and k not in recorded
+    ]
+    slots = rotation_slots(EXPECTED_PINNED)
+    if len(fresh_pool) >= 5:
+        assert not set(slots) & recorded, (
+            f"rotation repeats recorded keys with {len(fresh_pool)} "
+            f"fresh remaining: {sorted(set(slots) & recorded)}"
+        )

@@ -65,8 +65,11 @@ def test_ivf_recall_ratio_holds_at_scale(spark, sf):
     }
     recall = len(exact & ivf) / len(exact)
     n = table(spark, sf, "embeddings").count()
+    from etl_framework_spark.queries.corpus import NPROBE
+
     buckets = max(1, int(n**0.5) // 10)  # same sizing rule as ivf_topk
-    scan_fraction = 3 / (10 * buckets)  # nprobe=3 of ~10*buckets cells
+    # NPROBE best-centroid cells + the query's own assignment cell
+    scan_fraction = (NPROBE + 1) / (10 * buckets)
     assert recall > 1.5 * scan_fraction, (sf, recall, scan_fraction)
 
 
@@ -89,3 +92,40 @@ def test_sq8_recall_and_true_cosines(spark, sf):
     assert recall >= 0.9, (sf, recall)
     for pair in overlap:
         assert abs(exact[pair] - sq8[pair]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Planted-neighbor recall (VERDICT r8 item 7): the base corpus is
+# near-uniform (true neighbors at cos≈0.45), so the ratio tests above
+# only prove better-than-chance. The probe replicas are themselves a
+# deterministic planted structure: replica k of vector v is v + k·1e-3
+# on every dim (tools/scale_probe.build_inflated), i.e. every vector
+# has factor−1 near-twins at cos ≈ 1 with KNOWN ids. A useful ANN/IVF
+# index must retrieve those — recall@10 ≥ 0.8 on the planted twins.
+# ---------------------------------------------------------------------------
+
+X30 = os.path.join(os.path.dirname(X10), "x30")
+_PROBES = [
+    (path, factor)
+    for path, factor in [(X10, 10), (X30, 30)]
+    if os.path.exists(os.path.join(path, ".complete"))
+]
+N_BASE = 2_000  # sf0.1 base vectors; replica ids = base_id + k*N_BASE
+
+
+@pytest.mark.parametrize("probe", _PROBES, ids=lambda p: f"x{p[1]}")
+@pytest.mark.parametrize("key", ["llm_sim_ann", "llm_sim_ivf"])
+def test_planted_twin_recall(spark, key, probe):
+    path, factor = probe
+    from collections import defaultdict
+
+    by_q: dict[int, set[int]] = defaultdict(set)
+    for r in ent.queries()[key](spark, path).collect():
+        by_q[r.qid].add(r.vid)
+    hits = denom = 0
+    for qid, vids in by_q.items():
+        twins = {qid % N_BASE + k * N_BASE for k in range(factor)} - {qid}
+        hits += len(vids & twins)
+        denom += min(10, len(twins))
+    recall = hits / denom
+    assert recall >= 0.8, (key, path, recall)

@@ -287,6 +287,35 @@ def probe_end_to_end(spark, qs, keys, base, big_dir, factor) -> dict:
             f"  {key:28s} {t_base:7.2f}s -> {t_big:7.2f}s  exp={exp:5.2f}",
             flush=True,
         )
+        if key == "llm_dedup_editdist":
+            # VERDICT r8 item 6: measure the candidate-volume growth
+            # behind the residual exponent instead of guessing it
+            from etl_framework_spark.queries.extras9 import (
+                editdist_candidates,
+            )
+
+            def _cand_counts(sf: str) -> dict:
+                cl, cs, pr = editdist_candidates(spark, sf)
+                return {
+                    "segment_join": cl.count(),
+                    "short_sliver": cs.count(),
+                    "post_prune": pr.count(),
+                }
+
+            cb = _cand_counts(base)
+            cx = _cand_counts(big_dir)
+            cexp = math.log(
+                max(cx["segment_join"], 1) / max(cb["segment_join"], 1)
+            ) / math.log(factor)
+            results[key]["candidates_base"] = cb
+            results[key][f"candidates_x{factor}"] = cx
+            results[key]["segment_candidates_exponent"] = round(cexp, 3)
+            print(
+                f"    editdist candidates: seg {cb['segment_join']} -> "
+                f"{cx['segment_join']} (exp={cexp:.2f}), post-prune "
+                f"{cb['post_prune']} -> {cx['post_prune']}",
+                flush=True,
+            )
         _write(
             base,
             f"x{factor}",
@@ -373,6 +402,10 @@ def main() -> int:
         help="per-query marginal-cost probe for the similarity keys",
     )
     args = ap.parse_args()
+
+    # probe runs are rows-only: allow the anchor modulus to leave the
+    # oracle-exact regime (ADVICE r8 lockstep guard) on huge corpora
+    os.environ.setdefault("SPARK_GRAFT_ALLOW_ANCHOR_GROWTH", "1")
 
     print(f"building x{args.factor} corpus ...", flush=True)
     big_dir = build_inflated(args.base, args.factor, rebuild=args.rebuild)
