@@ -574,14 +574,25 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r9: candidate construction lives in editdist_candidates() so the
     scale probe can MEASURE candidate-volume growth per scale
-    (VERDICT r8 item 6) — same plan, same bits."""
+    (VERDICT r8 item 6). Measured at ×30: segment candidates grow at
+    exponent 1.34 (20k → 1.88M — probe-replica docs share unchanged
+    position-anchored 7-grams), post-prune volume 103 → 342,699. A
+    banded-histogram-mass second join key was tried and REJECTED on
+    measurement: the replica alphabet maps permute chars within a
+    fixed set, so colliding pairs are mass-preserving and the band
+    killed only 0.1% of candidates while tripling index-key explode
+    volume. The DP is bounded instead: levenshtein's threshold arg
+    runs the banded O(|s|·2τ) DP and returns −1 past τ — exact for
+    every kept row (oracle unchanged), measured neutral at probe
+    scales (the candidate join dominates) but caps per-candidate
+    work where candidate volume is the growth term."""
     _, _, pruned = editdist_candidates(spark, sf_dir)
-    dist = F.levenshtein(F.col("__pfx_a"), F.col("__pfx_b"))
+    dist = F.levenshtein(F.col("__pfx_a"), F.col("__pfx_b"), 8)
     return pruned.select(
         "id_a",
         "id_b",
         dist.cast("bigint").alias("prefix_dist"),
-    ).filter(F.col("prefix_dist") <= 8)
+    ).filter(F.col("prefix_dist").between(0, 8))
 
 
 def editdist_candidates(spark: SparkSession, sf_dir: str):
