@@ -44,21 +44,21 @@ for _m in [
     "cluster_q",
     "profiling",
     "bpe_q",
-    "extras9",
-    "extras10",
+    "dedup_editdist",
+    "skyline_winnow",
     "extras11",
     "extras12",
     "extras13",
     "extras14",
     "extras15",
     "extras16",
-    "extras17",
-    "extras18",
-    "extras19",
+    "stats_sketch_geo",
+    "quantize_matryoshka",
+    "rank_trend",
     "extras20",
     "extras21",
     "extras22",
-    "extras23",
+    "pca_q",
     "extras24",
     "extras25",
     "extras26",
@@ -87,7 +87,7 @@ for _m in [
     "extras49",
     "extras50",
     "extras51",
-    "extras52",
+    "demand_forecast",
     "extras53",
     "extras54",
     "extras55",
@@ -131,10 +131,10 @@ for _m in [
     "extras93",
     "extras94",
     "extras95",
-    "extras96",
+    "twonn_drift",
     "extras97",
     "extras98",
-    "extras99",
+    "feature_screen",
     "extras100",
     "extras101",
     "extras102",
@@ -152,7 +152,7 @@ for _m in [
     "extras114",
     "extras115",
     "extras116",
-    "extras117",
+    "hubness_audit",
     "extras118",
     "extras119",
     "extras120",

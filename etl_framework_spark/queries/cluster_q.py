@@ -89,7 +89,7 @@ def _update(assigned: DataFrame) -> DataFrame:
 
 # Shared CTE chain replaying both Lloyd iterations — reused by the
 # cluster-size oracle (llm_kmeans) and the purity/NMI evaluation
-# (llm_cluster_purity in extras10).
+# (llm_cluster_purity in skyline_winnow).
 KMEANS_A2_CTE = f"""
     WITH init AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,

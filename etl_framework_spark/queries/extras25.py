@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from etl_framework_spark.catalog import table
-from etl_framework_spark.queries.extras23 import _PCA_CTE
+from etl_framework_spark.queries.pca_q import _PCA_CTE
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
 
@@ -71,7 +71,7 @@ def vec_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching the oracle exactly); the trace folds the 64 diagonal
     entries in dim order."""
     prep(spark)
-    from etl_framework_spark.queries.extras23 import _pca_core
+    from etl_framework_spark.queries.pca_q import _pca_core
 
     v2, ray, nrow, cov = _pca_core(spark, sf_dir)
     trace = (

@@ -69,7 +69,7 @@ def pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     any scale)."""
     prep(spark)
     from etl_framework_spark.pipeline import Pipeline
-    from etl_framework_spark.queries.extras10 import curation_spec
+    from etl_framework_spark.queries.skyline_winnow import curation_spec
 
     rows = Pipeline(curation_spec(sf_dir)).lineage()
     return spark.createDataFrame(

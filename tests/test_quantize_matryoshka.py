@@ -1,4 +1,4 @@
-"""Invariant tests for the round-3 batch 2 operators (extras18)."""
+"""Invariant tests for the round-3 batch 2 operators (quantize_matryoshka)."""
 
 from __future__ import annotations
 

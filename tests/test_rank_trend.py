@@ -1,4 +1,4 @@
-"""Invariant tests for the round-3 batch 3 operators (extras19)."""
+"""Invariant tests for the round-3 batch 3 operators (rank_trend)."""
 
 from __future__ import annotations
 

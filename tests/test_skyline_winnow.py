@@ -1,4 +1,4 @@
-"""Invariant tests for the batch-5 operators (extras10.py): skyline
+"""Invariant tests for the batch-5 operators (skyline_winnow.py): skyline
 dominance properties, the winnowing match guarantee, seasonality
 conservation. Exact values are gated by tools/check.py oracles."""
 
@@ -55,7 +55,7 @@ def test_winnowing_shared_run_shares_fingerprint(spark):
     """The winnowing guarantee: two docs sharing >= w+k-1 = 6
     consecutive tokens share at least one fingerprint. Build two
     synthetic docs around a common 8-token run and check overlap."""
-    from etl_framework_spark.queries.extras10 import llm_winnowing
+    from etl_framework_spark.queries.skyline_winnow import llm_winnowing
 
     common = "alpha beta gamma delta epsilon zeta eta theta"
     df = spark.createDataFrame(

@@ -1,4 +1,4 @@
-"""Invariant tests for the round-3 batch 1 operators (extras17):
+"""Invariant tests for the round-3 batch 1 operators (stats_sketch_geo):
 properties that must hold beyond the hash-vs-oracle equality."""
 
 from __future__ import annotations

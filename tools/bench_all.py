@@ -3,7 +3,11 @@ the noop sink and write artifacts/bench_all.json — the self-measured
 per-operator baseline SURVEY §6 calls for. One untimed warmup then
 median of 3 per key (JIT/GC noise dominates single local runs).
 
-Usage: python tools/bench_all.py [--sf DIR] [--out PATH]
+Usage: python tools/bench_all.py [--sf DIR] [--out PATH] [--keys k1,k2]
+
+--keys re-times only the named keys and MERGES them into the existing
+artifact (for refreshing rows whose implementation changed without a
+25-minute full sweep; the full sweep remains the per-round gate).
 """
 
 from __future__ import annotations
@@ -21,6 +25,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/root/repo/artifacts/bench_all.json")
+    ap.add_argument("--keys", default=None, help="comma-separated subset")
     args = ap.parse_args()
 
     from etl_framework_spark.session import get_spark
@@ -52,7 +57,22 @@ def main() -> None:
     run("agg_groupby")  # session warmup, untimed
     times: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for key in sorted(qs):
+    subset = args.keys.split(",") if args.keys else None
+    if subset:
+        missing = [k for k in subset if k not in qs]
+        if missing:
+            raise SystemExit(f"unknown keys: {missing}")
+        # merge mode: start from the existing artifact's rows
+        if os.path.exists(args.out):
+            try:
+                prior = json.load(open(args.out))
+                times.update(prior.get("queries", {}))
+                failures.update(prior.get("failures", {}))
+            except Exception:
+                pass
+        for k in subset:
+            failures.pop(k, None)
+    for key in subset or sorted(qs):
         release_blocks()
         try:
             # same methodology as bench.py: one untimed warmup (plan

@@ -290,7 +290,7 @@ def probe_end_to_end(spark, qs, keys, base, big_dir, factor) -> dict:
         if key == "llm_dedup_editdist":
             # VERDICT r8 item 6: measure the candidate-volume growth
             # behind the residual exponent instead of guessing it
-            from etl_framework_spark.queries.extras9 import (
+            from etl_framework_spark.queries.dedup_editdist import (
                 editdist_candidates,
             )
 
