@@ -133,7 +133,10 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_topk(
-    spark: SparkSession, sf_dir: str, query_pred=None
+    spark: SparkSession,
+    sf_dir: str,
+    query_pred=None,
+    _return_candidates: bool = False,
 ) -> DataFrame:
     """IVF-style ANN (L3 scale path, complement to sign-LSH): coarse
     quantizer = (label x projection-quantile-bucket) cells; queries
@@ -248,6 +251,11 @@ def ivf_topk(
     cand = assign.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("qid")
     )
+    if _return_candidates:
+        # test/diagnostic hook: the pre-ranking candidate set, so the
+        # recall tests can compute the MEASURED scanned fraction (its
+        # chance baseline) instead of assuming NPROBE+1 full cells
+        return cand.select("qid", F.col("vec_id").alias("vid"))
     cos = F.round(
         dot_fold(F.col("qe"), F.col("embedding"))
         / (l2_norm(F.col("qe")) * l2_norm(F.col("embedding"))),
