@@ -39,14 +39,14 @@ for _m in [
     "analytics",
     "quality",
     "lm_stats",
-    "extras7",
+    "markov_zorder",
     "extras8",
     "cluster_q",
     "profiling",
     "bpe_q",
     "dedup_editdist",
     "skyline_winnow",
-    "extras11",
+    "substring_dedup",
     "extras12",
     "extras13",
     "extras14",
@@ -67,10 +67,10 @@ for _m in [
     "extras29",
     "extras30",
     "extras31",
-    "extras32",
+    "hypothesis_tests",
     "extras33",
     "extras34",
-    "extras35",
+    "longrange_jl",
     "extras36",
     "extras37",
     "extras38",
@@ -98,7 +98,7 @@ for _m in [
     "extras60",
     "extras61",
     "extras62",
-    "extras63",
+    "debounce_logrank",
     "extras64",
     "extras65",
     "extras66",
@@ -108,11 +108,11 @@ for _m in [
     "extras70",
     "extras71",
     "extras72",
-    "extras73",
+    "retrieval_eval",
     "extras74",
     "extras75",
     "extras76",
-    "extras77",
+    "energy_perm_tests",
     "extras78",
     "extras79",
     "extras80",
@@ -129,33 +129,33 @@ for _m in [
     "extras91",
     "extras92",
     "extras93",
-    "extras94",
+    "series_relation",
     "extras95",
     "twonn_drift",
     "extras97",
     "extras98",
     "feature_screen",
     "extras100",
-    "extras101",
+    "theta_meta",
     "extras102",
-    "extras103",
+    "rouge_quality",
     "extras104",
     "extras105",
     "extras106",
-    "extras107",
-    "extras108",
+    "recall_sweep",
+    "wavelet_coherence",
     "extras109",
     "extras110",
     "extras111",
     "extras112",
     "extras113",
-    "extras114",
-    "extras115",
+    "circular_robustness",
+    "welch_funnel",
     "extras116",
     "hubness_audit",
     "extras118",
     "extras119",
-    "extras120",
+    "holt_breslow",
     "extras121",
     "extras122",
     "extras123",

@@ -1,4 +1,4 @@
-"""Unit tests for the round-2 operator batch (extras7.py, cluster_q.py):
+"""Unit tests for the round-2 operator batch (markov_zorder.py, cluster_q.py):
 algebraic invariants cheap enough for sf0.001 — the exact-value gate is
 tools/check.py against the DuckDB oracles.
 """

@@ -1,4 +1,4 @@
-"""Unit tests for the round-2 batch-6 operators (extras11.py):
+"""Unit tests for the round-2 batch-6 operators (substring_dedup.py):
 algebraic invariants cheap enough for sf0.001 — the exact-value gate is
 tools/check.py against the DuckDB oracles.
 """
