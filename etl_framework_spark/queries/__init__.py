@@ -40,7 +40,7 @@ for _m in [
     "quality",
     "lm_stats",
     "markov_zorder",
-    "extras8",
+    "graph_streaks",
     "cluster_q",
     "profiling",
     "bpe_q",
@@ -69,9 +69,9 @@ for _m in [
     "extras31",
     "hypothesis_tests",
     "extras33",
-    "extras34",
+    "pagerank_cooc",
     "longrange_jl",
-    "extras36",
+    "containment_cpd",
     "extras37",
     "extras38",
     "extras39",
@@ -86,15 +86,15 @@ for _m in [
     "extras48",
     "extras49",
     "extras50",
-    "extras51",
+    "multiple_testing",
     "demand_forecast",
     "extras53",
-    "extras54",
+    "collocation_mi",
     "extras55",
     "extras56",
     "extras57",
-    "extras58",
-    "extras59",
+    "survival_shard",
+    "did_causal",
     "extras60",
     "extras61",
     "extras62",
@@ -103,7 +103,7 @@ for _m in [
     "extras65",
     "extras66",
     "extras67",
-    "extras68",
+    "pit_features",
     "extras69",
     "extras70",
     "extras71",
@@ -116,24 +116,24 @@ for _m in [
     "extras78",
     "extras79",
     "extras80",
-    "extras81",
-    "extras82",
+    "attribution_roc",
+    "hetero_qlm",
     "extras83",
     "extras84",
     "extras85",
     "extras86",
-    "extras87",
+    "clv_influence",
     "extras88",
     "extras89",
-    "extras90",
+    "ta_spectral",
     "extras91",
     "extras92",
-    "extras93",
+    "regression_diag",
     "series_relation",
     "extras95",
     "twonn_drift",
     "extras97",
-    "extras98",
+    "uplift_richclub",
     "feature_screen",
     "extras100",
     "theta_meta",
@@ -163,7 +163,7 @@ for _m in [
     "extras125",
     "extras126",
     "extras127",
-    "extras128",
+    "ab_funnel",
     "extras129",
     "extras130",
     "extras131",
