@@ -60,7 +60,7 @@ for _m in [
     "extras22",
     "pca_q",
     "extras24",
-    "extras25",
+    "pca_vocab",
     "extras26",
     "extras27",
     "extras28",
@@ -91,8 +91,8 @@ for _m in [
     "extras53",
     "collocation_mi",
     "extras55",
-    "extras56",
-    "extras57",
+    "khop_sessions",
+    "nearest_stump",
     "survival_shard",
     "did_causal",
     "extras60",
@@ -100,13 +100,13 @@ for _m in [
     "extras62",
     "debounce_logrank",
     "extras64",
-    "extras65",
-    "extras66",
+    "m4_knngraph",
+    "rater_tailindex",
     "extras67",
     "pit_features",
     "extras69",
     "extras70",
-    "extras71",
+    "calibration_tail",
     "extras72",
     "retrieval_eval",
     "extras74",
@@ -124,7 +124,7 @@ for _m in [
     "extras86",
     "clv_influence",
     "extras88",
-    "extras89",
+    "ksample_tests",
     "ta_spectral",
     "extras91",
     "extras92",
@@ -132,7 +132,7 @@ for _m in [
     "series_relation",
     "extras95",
     "twonn_drift",
-    "extras97",
+    "littles_law",
     "uplift_richclub",
     "feature_screen",
     "extras100",
@@ -140,15 +140,15 @@ for _m in [
     "extras102",
     "rouge_quality",
     "extras104",
-    "extras105",
-    "extras106",
+    "theil_eoq",
+    "stream_join_mi",
     "recall_sweep",
     "wavelet_coherence",
     "extras109",
     "extras110",
     "extras111",
-    "extras112",
-    "extras113",
+    "mixcap_precision",
+    "ridit_conversion",
     "circular_robustness",
     "welch_funnel",
     "extras116",
@@ -157,8 +157,8 @@ for _m in [
     "extras119",
     "holt_breslow",
     "extras121",
-    "extras122",
-    "extras123",
+    "ci_modularity",
+    "aov_seasonal",
     "extras124",
     "extras125",
     "extras126",
@@ -170,7 +170,7 @@ for _m in [
     "extras132",
     "extras133",
     "extras134",
-    "extras135",
+    "oov_moods",
     "extras136",
     "extras137",
 ]:

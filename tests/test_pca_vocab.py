@@ -1,4 +1,4 @@
-"""Invariant tests for the round-3 batch 9 operators (extras25)."""
+"""Invariant tests for the round-3 batch 9 operators (pca_vocab)."""
 
 from __future__ import annotations
 
