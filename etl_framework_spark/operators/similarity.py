@@ -186,9 +186,16 @@ def anchor_modulus_locked(n_vectors: int) -> int:
     diverge from its oracle, so raise LOUDLY — restoring the old
     collect-guard's failure mode — unless the caller explicitly opted
     into the rows-only growth regime (the scale probe and the
-    growth-path test set SPARK_GRAFT_ALLOW_ANCHOR_GROWTH=1)."""
+    growth-path test set SPARK_GRAFT_ALLOW_ANCHOR_GROWTH=1).
+
+    The opt-in is parsed as a boolean, not truthiness of the raw
+    string (ADVICE r9): ``=0``/``=false`` — the natural way to say
+    "off" — must keep the guard ARMED."""
     mod = anchor_modulus(n_vectors)
-    if mod != _ORACLE_ANCHOR_MOD and not os.environ.get(ANCHOR_GROWTH_ENV):
+    growth_ok = os.environ.get(ANCHOR_GROWTH_ENV, "").strip().lower() in (
+        "1", "true", "yes", "on",
+    )
+    if mod != _ORACLE_ANCHOR_MOD and not growth_ok:
         raise ValueError(
             f"anchor modulus {mod} (n_vectors={n_vectors}) diverges from "
             f"the static `vec_id % {_ORACLE_ANCHOR_MOD}` SQL oracle; this "

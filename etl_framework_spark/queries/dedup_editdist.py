@@ -1,10 +1,19 @@
-"""Round-2 batch 4: evaluation/reporting composites — language-ID
-confusion matrix and near-dup cluster profile. Both reuse the exact
-machinery of their base operators (llm_lang_id, llm_dedup_minhash) so
-the oracles stay exact.
+"""Edit-distance near-dup dedup (headline: ``llm_dedup_editdist``,
+PassJoin-style positional segment candidates + bag-distance prune +
+banded Levenshtein DP), plus the time-series resample/gapfill/OHLC/
+autocorr/burstiness keys, sales Pareto/ABC/MoM composites, and the
+language-ID confusion / dedup-cluster-profile evaluation reports that
+reuse llm_lang_id / llm_dedup_minhash machinery with exact oracles.
 """
 
 from __future__ import annotations
+
+# Edit-distance threshold for llm_dedup_editdist: shared by the
+# PassJoin segment layout (τ+1 segments, ±τ probe shifts), the
+# bag-distance prune, the banded Levenshtein DP, the final filter,
+# AND (via f-string) the DuckDB oracle — hoisted so the five can
+# never desync (ADVICE r9).
+EDITDIST_TAU = 8
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -524,7 +533,7 @@ def train_packing_eff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_dedup_editdist",
-    oracle="""
+    oracle=f"""
     WITH d AS (SELECT doc_id, lang, source, text,
                       length(text) AS n FROM documents)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -533,8 +542,9 @@ def train_packing_eff(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM d a JOIN d b
       ON a.lang = b.lang AND a.source = b.source
      AND a.doc_id < b.doc_id
-     AND abs(a.n - b.n) <= 16
-    WHERE levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) <= 8
+     AND abs(a.n - b.n) <= {2 * EDITDIST_TAU}
+    WHERE levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64))
+          <= {EDITDIST_TAU}
     """,
 )
 def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,12 +597,12 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales (the candidate join dominates) but caps per-candidate
     work where candidate volume is the growth term."""
     _, _, pruned = editdist_candidates(spark, sf_dir)
-    dist = F.levenshtein(F.col("__pfx_a"), F.col("__pfx_b"), 8)
+    dist = F.levenshtein(F.col("__pfx_a"), F.col("__pfx_b"), EDITDIST_TAU)
     return pruned.select(
         "id_a",
         "id_b",
         dist.cast("bigint").alias("prefix_dist"),
-    ).filter(F.col("prefix_dist").between(0, 8))
+    ).filter(F.col("prefix_dist").between(0, EDITDIST_TAU))
 
 
 def editdist_candidates(spark: SparkSession, sf_dir: str):
@@ -607,7 +617,8 @@ def editdist_candidates(spark: SparkSession, sf_dir: str):
     prep(spark)
     from etl_framework_spark.catalog import table as _table
 
-    TAU = 8
+    TAU = EDITDIST_TAU
+    delta_n = 2 * EDITDIST_TAU  # |len a − len b| blocking bound (oracle's 16)
     d = _table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -695,8 +706,8 @@ def editdist_candidates(spark: SparkSession, sf_dir: str):
     # ---- branch 2: pairs touching a short doc (min(n) < 64) --------
     # both ends are < 80 by |Δn| <= 16; r7 length-banded join, scoped
     # to this bounded sliver
-    short_d = d.filter(F.col("n") < 64 + 16).withColumn(
-        "bkt", F.floor(F.col("n") / 16).cast("bigint")
+    short_d = d.filter(F.col("n") < 64 + delta_n).withColumn(
+        "bkt", F.floor(F.col("n") / delta_n).cast("bigint")
     )
     sa = short_d.alias("a")
     sb = short_d.withColumn(
@@ -734,7 +745,7 @@ def editdist_candidates(spark: SparkSession, sf_dir: str):
         " 0, (acc, v) -> acc + v)"
     )
     pruned = cand.filter(
-        F.abs(F.col("__n_a") - F.col("__n_b")) <= 16
+        F.abs(F.col("__n_a") - F.col("__n_b")) <= delta_n
     ).filter(F.greatest(lb1, lb2) <= TAU)
     return cand_long, cand_short, pruned
 

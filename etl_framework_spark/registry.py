@@ -60,22 +60,26 @@ N_ROTATING = 5
 
 
 def _record_files(repo_root: str = _REPO_ROOT) -> list[str]:
-    """Paths of the COMMITTED driver records (git-tracked
-    CORRECTNESS_r*.json). Restricting to tracked names makes the
-    registry head a pure function of the commit — an untracked record
-    the driver just wrote to the working tree can't shift it (ADVICE
-    r8). Falls back to a plain glob when git is unavailable (sdist
-    install, exported tree)."""
+    """Paths of the COMMITTED driver records (CORRECTNESS_r*.json in
+    the HEAD tree). Restricting to committed names makes the registry
+    head a pure function of the commit — neither an untracked record
+    the driver just wrote nor a staged-but-uncommitted one can shift
+    it (ADVICE r8/r9: ``git ls-files`` reads the index, so a bare
+    ``git add`` already moved the head; ``ls-tree HEAD`` cannot).
+    Falls back to a plain glob when git is unavailable (sdist install,
+    exported tree)."""
     try:
         out = _subprocess.run(
-            ["git", "-C", repo_root, "ls-files", "CORRECTNESS_r*.json"],
+            ["git", "-C", repo_root, "ls-tree", "HEAD", "--name-only"],
             capture_output=True,
             text=True,
             timeout=10,
         )
         if out.returncode == 0:
             return [
-                _os.path.join(repo_root, f) for f in out.stdout.split()
+                _os.path.join(repo_root, f)
+                for f in out.stdout.splitlines()
+                if _re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
             ]
     except Exception:
         pass

@@ -46,6 +46,22 @@ def test_lockstep_guard_raises_past_oracle_regime(monkeypatch):
     assert similarity.anchor_modulus_locked(1_500_000) == 15
 
 
+@pytest.mark.parametrize("off", ["0", "false", "no", "off", "", " "])
+def test_lockstep_guard_env_parsed_as_boolean(monkeypatch, off):
+    """ADVICE r9: SPARK_GRAFT_ALLOW_ANCHOR_GROWTH=0 (or any falsy
+    spelling) must keep the guard ARMED — the old truthiness check
+    disarmed it for every non-empty string."""
+    monkeypatch.setenv(similarity.ANCHOR_GROWTH_ENV, off)
+    with pytest.raises(ValueError, match="vec_id % 5"):
+        similarity.anchor_modulus_locked(1_500_000)
+
+
+@pytest.mark.parametrize("on", ["1", "true", "TRUE", "yes", "on"])
+def test_lockstep_guard_env_accepts_boolean_spellings(monkeypatch, on):
+    monkeypatch.setenv(similarity.ANCHOR_GROWTH_ENV, on)
+    assert similarity.anchor_modulus_locked(1_500_000) == 15
+
+
 @pytest.mark.skipif(not _HAVE_X30, reason="x30 probe corpus not built")
 def test_hubness_growth_branch_on_x30(spark, monkeypatch):
     monkeypatch.setattr(similarity, "_MAX_ANCHOR_COLLECT", _TEST_CAP)

@@ -166,17 +166,39 @@ def test_rotation_exhausts_fresh_pool_before_repeat() -> None:
     assert len(rotation_slots(EXPECTED_PINNED, seen=seen)) == 5
 
 
+def _committed_record_names() -> list[str]:
+    """CORRECTNESS_r*.json names in the HEAD tree — derived with git
+    directly (not via registry._record_files) so a helper regression
+    can't mask a repeat, but from the SAME source of truth the
+    rotation uses: the commit, not the working tree (VERDICT r9 item
+    1: the old glob included the driver's still-uncommitted record,
+    whose keys by construction EQUAL the current slots, so the test
+    went red on every mid-round tree)."""
+    import re as _re
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "-C", "/root/repo", "ls-tree", "HEAD", "--name-only"],
+        capture_output=True,
+        text=True,
+        timeout=10,
+        check=True,
+    )
+    return [
+        f for f in out.stdout.splitlines()
+        if _re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
+    ]
+
+
 def test_rotation_disjoint_from_all_committed_records() -> None:
-    """VERDICT r8 item 5: while ≥5 fresh keys remain, the 5 rotation
-    slots must be disjoint from EVERY committed CORRECTNESS_r*.json
-    key — read the artifacts directly, not via the helper, so a
-    driver_recorded_keys() regression can't mask a repeat."""
-    import glob
+    """VERDICT r8 item 5 (re-scoped per VERDICT r9 item 1): while ≥5
+    fresh keys remain, the 5 rotation slots must be disjoint from
+    every key in every COMMITTED CORRECTNESS_r*.json."""
     import json
 
     recorded: set[str] = set()
-    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
-        with open(f) as fh:
+    for name in sorted(_committed_record_names()):
+        with open(f"/root/repo/{name}") as fh:
             recorded.update(json.load(fh).keys())
     fresh_pool = [
         k for k in QUERIES
@@ -187,4 +209,29 @@ def test_rotation_disjoint_from_all_committed_records() -> None:
         assert not set(slots) & recorded, (
             f"rotation repeats recorded keys with {len(fresh_pool)} "
             f"fresh remaining: {sorted(set(slots) & recorded)}"
+        )
+
+
+def test_untracked_record_keys_equal_current_head() -> None:
+    """Companion for the mid-round window (VERDICT r9 item 1): a
+    CORRECTNESS record present on disk but absent from HEAD is the
+    driver's record OF this head, so its keys must be exactly the
+    current 50-key head (pinned + current slots). Trivially passes
+    once the record is committed."""
+    import glob
+    import json
+    import os
+
+    committed = set(_committed_record_names())
+    head = set(list(QUERIES)[:50])
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        name = os.path.basename(f)
+        if name in committed:
+            continue
+        with open(f) as fh:
+            keys = set(json.load(fh).keys())
+        assert keys == head, (
+            f"uncommitted {name} keys diverge from the current head: "
+            f"missing={sorted(head - keys)[:5]} "
+            f"extra={sorted(keys - head)[:5]}"
         )

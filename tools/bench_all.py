@@ -8,6 +8,23 @@ Usage: python tools/bench_all.py [--sf DIR] [--out PATH] [--keys k1,k2]
 --keys re-times only the named keys and MERGES them into the existing
 artifact (for refreshing rows whose implementation changed without a
 25-minute full sweep; the full sweep remains the per-round gate).
+
+Self-healing (VERDICT r9 item 2): the committed r8 artifact carried
+four CPU-steal-contaminated rows (fn_date2 recorded 7.76 s vs 0.51 s
+isolated) because a co-tenant burst inflated all three samples of a
+key at once. Two defenses now:
+
+1. ``calibration`` — the same registry/data-independent micro-workload
+   bench.py times (10^7-row range → codegen projection → 1024-group
+   shuffle agg), median of 5, recorded in the payload so a future
+   reader can normalize rows across machine states.
+2. A post-sweep re-time pass: any key whose fresh time exceeds
+   RETIME_FACTOR× its value in the previous artifact (or, with no
+   prior row, exceeds RETIME_ABS_SEC) is re-timed once more at the
+   END of the run — a different machine moment than its first
+   sample — and the MIN of the two medians is kept. Re-timed keys are
+   listed under ``retimed`` with before/after so the healing is
+   auditable, not silent.
 """
 
 from __future__ import annotations
@@ -19,6 +36,9 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+RETIME_FACTOR = 3.0   # fresh > 3× prior ⇒ suspect burst
+RETIME_ABS_SEC = 5.0  # no prior row ⇒ absolute suspicion threshold
 
 
 def main() -> None:
@@ -39,6 +59,25 @@ def main() -> None:
         qs[key](spark, args.sf).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    def cal_run() -> float:
+        # identical micro-workload to bench.py's calibration so the
+        # two artifacts share a denominator
+        t0 = time.time()
+        (
+            spark.range(0, 10_000_000, 1, 32)
+            .selectExpr(
+                "id % 1024 AS g",
+                "id * 2654435761 % 97 AS h",
+                "sin(cast(id AS DOUBLE) / 1e6) AS s",
+            )
+            .groupBy("g")
+            .agg({"h": "sum", "s": "avg"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.time() - t0
+
     def release_blocks() -> None:
         # clearCache drops DataFrame caches but NOT RDDs pinned by
         # localCheckpoint (iterative graph keys) or per-call persist()
@@ -54,7 +93,28 @@ def main() -> None:
         except Exception:
             pass
 
+    def timed_median(key: str) -> float:
+        # same methodology as bench.py: one untimed warmup (plan
+        # compile + codegen), then median of 3 — min-of-2 was still
+        # showing multi-second GC-pause outliers on sub-second keys
+        run(key)
+        return round(sorted(run(key) for _ in range(3))[1], 3)
+
+    prior_times: dict[str, float] = {}
+    if os.path.exists(args.out):
+        try:
+            prior = json.load(open(args.out))
+            prior_times = dict(prior.get("queries", {}))
+        except Exception:
+            prior = {}
+    else:
+        prior = {}
+
     run("agg_groupby")  # session warmup, untimed
+    cal_run()
+    cal_run()
+    calibration = round(sorted(cal_run() for _ in range(5))[2], 3)
+
     times: dict[str, float] = {}
     failures: dict[str, str] = {}
     subset = args.keys.split(",") if args.keys else None
@@ -63,39 +123,58 @@ def main() -> None:
         if missing:
             raise SystemExit(f"unknown keys: {missing}")
         # merge mode: start from the existing artifact's rows
-        if os.path.exists(args.out):
-            try:
-                prior = json.load(open(args.out))
-                times.update(prior.get("queries", {}))
-                failures.update(prior.get("failures", {}))
-            except Exception:
-                pass
+        times.update(prior_times)
+        failures.update(prior.get("failures", {}) if prior else {})
         for k in subset:
             failures.pop(k, None)
     for key in subset or sorted(qs):
         release_blocks()
         try:
-            # same methodology as bench.py: one untimed warmup (plan
-            # compile + codegen), then median of 3 — min-of-2 was still
-            # showing multi-second GC-pause outliers on sub-second keys
-            run(key)
-            times[key] = round(sorted(run(key) for _ in range(3))[1], 3)
+            times[key] = timed_median(key)
         except Exception as e:  # noqa: BLE001 — record, keep sweeping
+            # drop any stale merged timing too — a key must never sit
+            # in both 'queries' and 'failures' (ADVICE r9)
+            times.pop(key, None)
             failures[key] = str(e)[:200]
         print(f"{key:28s} {times.get(key, 'FAIL')}", flush=True)
+
+    # --- self-healing re-time pass (different machine moment) -------
+    suspects = [
+        k for k in (subset or sorted(qs))
+        if k in times and (
+            times[k] > RETIME_FACTOR * prior_times[k]
+            if k in prior_times else times[k] > RETIME_ABS_SEC
+        )
+    ]
+    retimed: dict[str, dict[str, float]] = {}
+    for key in suspects:
+        release_blocks()
+        try:
+            again = timed_median(key)
+        except Exception:  # noqa: BLE001 — first timing stands
+            continue
+        if again < times[key]:
+            retimed[key] = {"first": times[key], "healed": again}
+            times[key] = again
+        else:
+            retimed[key] = {"first": times[key], "healed": times[key]}
+        print(f"retime {key:21s} {times[key]}", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     payload = {
         "sf_dir": args.sf,
+        "calibration": calibration,
         "n_queries": len(times),
         "total_sec": round(sum(times.values()), 3),
         "queries": dict(sorted(times.items(), key=lambda kv: -kv[1])),
+        "retimed": retimed,
         "failures": failures,
     }
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps({"total_sec": payload["total_sec"], "n": len(times),
-                      "failures": len(failures)}))
+                      "calibration": calibration,
+                      "retimed": len(retimed), "failures": len(failures)}))
 
 
 if __name__ == "__main__":
