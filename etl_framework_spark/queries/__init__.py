@@ -25,17 +25,17 @@ for _m in [
     "streaming_q",
     "udx",
     "pipeline_q",
-    "extras",
-    "extras2",
+    "set_limit_sample",
+    "fn_families2",
     "corpus",
     "tpch_like",
     "tpch_like2",
     "training",
     "cdc_q",
-    "extras3",
-    "extras4",
-    "extras5",
-    "extras6",
+    "fn_families3",
+    "grouping_unpivot",
+    "mode_url_hll",
+    "recursive_lateral",
     "analytics",
     "quality",
     "lm_stats",
@@ -47,132 +47,132 @@ for _m in [
     "dedup_editdist",
     "skyline_winnow",
     "substring_dedup",
-    "extras12",
-    "extras13",
-    "extras14",
-    "extras15",
-    "extras16",
+    "skew_incremental",
+    "ts_decompose_q",
+    "feature_encode",
+    "bm25_fusion",
+    "stickiness_retention",
     "stats_sketch_geo",
     "quantize_matryoshka",
     "rank_trend",
-    "extras20",
-    "extras21",
-    "extras22",
+    "share_collation",
+    "incremental_runs",
+    "kanon_linkpredict",
     "pca_q",
-    "extras24",
+    "weighted_median_intervals",
     "pca_vocab",
-    "extras26",
-    "extras27",
-    "extras28",
-    "extras29",
-    "extras30",
-    "extras31",
+    "rfm_tempsweep",
+    "rake_audio",
+    "range_bucketed",
+    "jarque_sen",
+    "srm_cms",
+    "lsh_calibration",
     "hypothesis_tests",
-    "extras33",
+    "hamming_crosscorr",
     "pagerank_cooc",
     "longrange_jl",
     "containment_cpd",
-    "extras37",
-    "extras38",
-    "extras39",
-    "extras40",
-    "extras41",
-    "extras42",
-    "extras43",
-    "extras44",
-    "extras45",
-    "extras46",
-    "extras47",
-    "extras48",
-    "extras49",
-    "extras50",
+    "bitmap_bucketed",
+    "elasticity_peaks",
+    "pruning_datacard",
+    "poisson_power_lorenz",
+    "ngrams_errorbudget",
+    "dq_observe",
+    "asof_sprt",
+    "holt_winters",
+    "tfidf_clustering",
+    "cuped_abcxyz",
+    "percentile_pruned",
+    "lineage_halflife",
+    "markov_burstiness",
+    "idgaps_heaps",
     "multiple_testing",
     "demand_forecast",
-    "extras53",
+    "geo_qq_sample",
     "collocation_mi",
-    "extras55",
+    "partial_bitemporal",
     "khop_sessions",
     "nearest_stump",
     "survival_shard",
     "did_causal",
-    "extras60",
-    "extras61",
-    "extras62",
+    "periodogram_keys",
+    "twophase_mh",
+    "gmv_targetenc",
     "debounce_logrank",
-    "extras64",
+    "ntile_shards",
     "m4_knngraph",
     "rater_tailindex",
-    "extras67",
+    "ordecomp_deming",
     "pit_features",
-    "extras69",
-    "extras70",
+    "granger_seasonal",
+    "ljungbox_maxsim",
     "calibration_tail",
-    "extras72",
+    "auc_growth",
     "retrieval_eval",
-    "extras74",
-    "extras75",
-    "extras76",
+    "patterns_ppmi",
+    "cannibalization_drift",
+    "negbin_ess",
     "energy_perm_tests",
-    "extras78",
-    "extras79",
-    "extras80",
+    "cooccurrence_conformal",
+    "gumbel_fiscal",
+    "tzshift_lognormal",
     "attribution_roc",
     "hetero_qlm",
-    "extras83",
-    "extras84",
-    "extras85",
-    "extras86",
+    "deadstock_funnel",
+    "fieller_silhouette",
+    "hodges_rocchio",
+    "hotelling_dispersion",
     "clv_influence",
-    "extras88",
+    "casefold_grossnet",
     "ksample_tests",
     "ta_spectral",
-    "extras91",
-    "extras92",
+    "dq_sanity",
+    "mattr_participation",
     "regression_diag",
     "series_relation",
-    "extras95",
+    "adamic_gwet",
     "twonn_drift",
     "littles_law",
     "uplift_richclub",
     "feature_screen",
-    "extras100",
+    "orc_bowker",
     "theta_meta",
-    "extras102",
+    "ancova_armitage",
     "rouge_quality",
-    "extras104",
+    "ccc_leadtime",
     "theil_eoq",
     "stream_join_mi",
     "recall_sweep",
     "wavelet_coherence",
-    "extras109",
-    "extras110",
-    "extras111",
+    "monotonic_hist2d",
+    "signtest_triplet",
+    "neyman_discovery",
     "mixcap_precision",
     "ridit_conversion",
     "circular_robustness",
     "welch_funnel",
-    "extras116",
+    "posthoc_aging",
     "hubness_audit",
-    "extras118",
-    "extras119",
+    "binseg_multidistinct",
+    "outage_effectsize",
     "holt_breslow",
-    "extras121",
+    "greenlist_gini",
     "ci_modularity",
     "aov_seasonal",
-    "extras124",
-    "extras125",
-    "extras126",
-    "extras127",
+    "fingerprint_picoverage",
+    "tradingday_fertility",
+    "injection_masking",
+    "slopes_lifespan",
     "ab_funnel",
-    "extras129",
-    "extras130",
-    "extras131",
-    "extras132",
-    "extras133",
-    "extras134",
+    "krippendorff_eventstudy",
+    "dom_discount",
+    "vectorops_benford",
+    "stickiness_delta",
+    "positivity_xmr",
+    "anomaly_parity",
     "oov_moods",
-    "extras136",
-    "extras137",
+    "weekend_quarterend",
+    "dedup_banded",
 ]:
     # No try/except: a broken module must fail HERE, at import time —
     # swallowing ImportError would silently drop its keys from the

@@ -1,4 +1,7 @@
-"""Round-5 batch 128: A/B funnel comparison, range-shard split
+"""Contract keys: ``events_funnel_ab``, ``shard_range_splits``,
+``sales_customer_tiers``.
+
+A/B funnel comparison, range-shard split
 points, and customer revenue tiers.
 
 Reference parity: the reference's per-arm funnel report, its
@@ -16,7 +19,6 @@ Scale notes:
 - ``sales_customer_tiers``: deterministic decile by (revenue,
   custkey) total order, then tier rollup.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

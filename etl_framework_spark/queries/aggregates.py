@@ -4,8 +4,12 @@ Float discipline (SURVEY.md §5.3 rule 3): sums/avgs of doubles are
 rounded identically on both sides because aggregation order can change
 low bits; counts/ints stay exact. DuckDB sums of INTEGER return
 HUGEINT — oracles cast to BIGINT to match Spark's LongType.
-"""
 
+Contract keys: ``agg_groupby``, ``agg_global``, ``agg_count_distinct``,
+``agg_approx_distinct``, ``agg_rollup``, ``agg_cube``,
+``agg_conditional``, ``agg_collect``, ``agg_median``, ``agg_stats``,
+``agg_pivot``.
+"""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

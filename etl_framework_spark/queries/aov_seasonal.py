@@ -1,4 +1,7 @@
-"""Round-5 batch 123: mix-adjusted AOV, seasonal-profile stability,
+"""Contract keys: ``sales_mix_adjusted_aov``,
+``ts_seasonal_profile_stability``, ``stats_brown_forsythe``.
+
+Mix-adjusted AOV, seasonal-profile stability,
 and the Brown-Forsythe test.
 
 Reference parity: the reference's direct-standardization report,
@@ -16,7 +19,6 @@ Scale notes:
   value-rollup midpoint (integer quantities), then one |z| moment
   pass.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -4,8 +4,9 @@ For every purchase event, the latest preceding view event by the same
 user (ties: equal-timestamp views count; among those the largest
 event_id wins). Oracle: DuckDB's native ASOF JOIN on a right side
 deduped to one row per (user, ts) under the same tie policy.
-"""
 
+Contract keys: ``join_asof``.
+"""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

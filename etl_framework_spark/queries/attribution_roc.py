@@ -1,4 +1,7 @@
-"""Round-5 batch 81: multi-touch attribution models and ROC operating
+"""Contract keys: ``events_attribution_compare``,
+``events_attribution_position``, ``stats_roc_youden``.
+
+Multi-touch attribution models and ROC operating
 points.
 
 Reference parity: the reference's attribution-model suite (last-touch
@@ -21,7 +24,6 @@ Scale notes:
 - ``stats_roc_youden``: TPR/FPR/J at nine thresholds from one
   broadcast-threshold aggregation; the argmax row is flagged.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -16,8 +16,9 @@ Scale: every round touches only the |word types| table (bounded —
 top-W by frequency), never the corpus; the corpus is scanned once for
 the initial frequency count. This is exactly how production BPE
 trainers run on massive corpora: count once, iterate on the vocab.
-"""
 
+Contract keys: ``llm_bpe_merges``, ``llm_bpe_segment``.
+"""
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession

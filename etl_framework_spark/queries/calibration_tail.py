@@ -1,4 +1,7 @@
-"""Round-5 batch 71: forecast calibration, tail risk, and k-core
+"""Contract keys: ``stats_brier_calibration``, ``stats_var_cvar``,
+``graph_kcore_peel``.
+
+Forecast calibration, tail risk, and k-core
 peeling.
 
 Reference parity: the reference's probabilistic-eval metrics, its
@@ -27,7 +30,6 @@ Scale notes:
   scales), then pairs explode JVM-side from the sorted set — no
   distinct shuffle, no self-join exchange.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

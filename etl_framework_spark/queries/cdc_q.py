@@ -4,8 +4,9 @@ The update batch is synthesized deterministically from the customer
 table itself (every custkey % 3 == 0 gets +100 on acctbal at a fixed
 timestamp), so the SCD2 output — closed interval + new current row per
 changed key — is exactly expressible in the DuckDB oracle.
-"""
 
+Contract keys: ``cdc_scd2``.
+"""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

@@ -1,4 +1,7 @@
-"""Round-5 batch 122: CI method audit, graph modularity, and the
+"""Contract keys: ``stats_ci_method_audit``, ``graph_modularity``,
+``vec_label_text_alignment``.
+
+CI method audit, graph modularity, and the
 text-embedding alignment check.
 
 Reference parity: the reference's interval-method comparison, its
@@ -16,7 +19,6 @@ Scale notes:
 - ``vec_text_norm_correlation``: one id equi-join between the two
   modality tables + five scalar sums.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

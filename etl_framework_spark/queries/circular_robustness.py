@@ -1,4 +1,7 @@
-"""Round-5 batch 114: circular statistics, hub-attack robustness,
+"""Contract keys: ``stats_circular_stats``, ``graph_attack_robustness``,
+``llm_source_similarity_matrix``.
+
+Circular statistics, hub-attack robustness,
 and the source-similarity matrix.
 
 Reference parity: the reference's time-of-day geometry, its graph
@@ -14,7 +17,6 @@ Scale notes:
 - ``llm_source_similarity_matrix``: profiles are (source, token)
   rollups; the pair join is |sources|² × vocabulary — both tiny.
 """
-
 from __future__ import annotations
 
 import math

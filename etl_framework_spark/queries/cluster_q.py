@@ -20,8 +20,9 @@ corpus scan + one k·dim-sized aggregation — the canonical Spark ML
 pattern (the model is bounded; the data never re-shuffles). A real run
 would checkpoint between iterations instead of unrolling; the plan
 shape per iteration is identical to what this query pins.
-"""
 
+Contract keys: ``llm_kmeans``, ``llm_semdedup``.
+"""
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W

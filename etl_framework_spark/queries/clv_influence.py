@@ -1,4 +1,7 @@
-"""Round-5 batch 87: discounted customer value, regression influence,
+"""Contract keys: ``sales_customer_npv``, ``stats_cooks_distance``,
+``events_peak_shaving``.
+
+Discounted customer value, regression influence,
 and peak-shaving simulation.
 
 Reference parity: the reference's NPV rollup, its influence
@@ -19,7 +22,6 @@ Scale notes:
   a strict [queue, max_queue, deferred_hours] fold per stream
   answers 'what cap could we get away with'.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

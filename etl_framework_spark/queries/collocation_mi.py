@@ -1,4 +1,7 @@
-"""Round-5 batch 54: collocation significance, feature-label mutual
+"""Contract keys: ``llm_collocations_llr``, ``feat_infogain``,
+``stats_simpsons``.
+
+Collocation significance, feature-label mutual
 information, and the Simpson's-paradox audit.
 
 Reference parity: the reference's text-collocation scorer (the
@@ -20,7 +23,6 @@ Scale notes:
   ROLLUP aggregation (partial aggregates shared); the flip flag is a
   window lookup of the pooled row on the 4-row result.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

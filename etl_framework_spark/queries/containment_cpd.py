@@ -1,4 +1,7 @@
-"""Round-3 batch 20: containment dedup, changepoint localization, and
+"""Contract keys: ``llm_dedup_containment``, ``ts_changepoint``,
+``stats_bootstrap_ci``.
+
+Containment dedup, changepoint localization, and
 the Poisson bootstrap.
 
 Scale notes:
@@ -19,7 +22,6 @@ Scale notes:
   is B× one scan regardless of cluster size, and weights come from a
   deterministic integer hash both engines replay.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -3,8 +3,11 @@ vocabulary extraction, bigram statistics, TF-IDF scoring — the
 token-level building blocks of a training-data pipeline at 100 TB
 (explode → hash agg → top-k; every stage partial-aggregates
 map-side, so hot tokens like stopwords never skew a reducer).
-"""
 
+Contract keys: ``llm_vocab``, ``llm_bigrams``, ``llm_tfidf``,
+``llm_sim_ivf``, ``llm_pmi``, ``llm_length_hist``,
+``llm_inverted_index``, ``llm_heavy_hitters``.
+"""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -1,4 +1,7 @@
-"""Round-5 batch 63: alarm debouncing, the log-rank test, and
+"""Contract keys: ``events_alarm_hysteresis``, ``stats_logrank``,
+``graph_bipartite_weights``.
+
+Alarm debouncing, the log-rank test, and
 bipartite graph projection.
 
 Reference parity: the reference's alerting hysteresis operator, its
@@ -23,7 +26,6 @@ Scale notes:
   per-part degree is bounded, so the blow-up is Σ deg² over parts
   (the honest cost of any projection), then one count shuffle.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -1,4 +1,7 @@
-"""Round-5 batch 52: clamped running balances, intermittent-demand
+"""Contract keys: ``ts_clamped_cumsum``, ``ts_croston``,
+``orders_busday_lag``.
+
+Clamped running balances, intermittent-demand
 forecasting, and business-day arithmetic.
 
 Reference parity: the reference's stateful-fold operators (running
@@ -23,7 +26,6 @@ Scale notes:
   epoch Monday) — integer-exact, no per-day explode, no calendar
   table join; the whole key is one fact join + one aggregation.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -1,4 +1,7 @@
-"""Round-5 batch 59: causal difference-in-differences, product
+"""Contract keys: ``stats_diff_in_diff``, ``vec_product_quantization``,
+``stats_tost_equivalence``.
+
+Causal difference-in-differences, product
 quantization, and equivalence testing.
 
 Reference parity: the reference's causal-inference helpers, its
@@ -21,7 +24,6 @@ Scale notes:
   Welch test, testing the OPPOSITE null (difference >= margin) —
   the two one-sided z statistics are expressions on the rollup.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

@@ -1,4 +1,7 @@
-"""Round-5 batch 77: energy-distance two-sample testing, hash-based
+"""Contract keys: ``vec_energy_distance``, ``stats_permutation_test``,
+``orders_subscription_detect``.
+
+Energy-distance two-sample testing, hash-based
 permutation tests, and subscription-pattern detection.
 
 Reference parity: the reference's multivariate two-sample test, its
@@ -20,7 +23,6 @@ Scale notes:
   lag window + rollup; the regularity verdict (CV < 0.3) is
   expression work.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

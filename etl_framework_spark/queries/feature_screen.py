@@ -1,4 +1,7 @@
-"""Round-5 batch 99: Friedman blocked-rank test, WoE/IV feature
+"""Contract keys: ``stats_friedman``, ``feat_woe_iv``,
+``llm_greedy_coverage``.
+
+Friedman blocked-rank test, WoE/IV feature
 screen, and greedy coverage-maximizing document selection.
 
 Reference parity: the reference's repeated-measures rank test, its
@@ -17,7 +20,6 @@ Scale notes:
   argmax over |docs| — 5 bounded passes, the classic lazy-greedy
   shape (at scale: keep the covered set broadcast).
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

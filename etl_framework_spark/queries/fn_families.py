@@ -11,8 +11,10 @@ divergences normalized per SURVEY.md §5.3 rule 5:
   - libm funcs (exp/ln/pow) can differ in the last ulp → round(6).
   - months_between: Spark's 31-day-month fractional semantics have no
     DuckDB equivalent — covered by unit test only, not the oracle.
-"""
 
+Contract keys: ``fn_string``, ``fn_date``, ``fn_math``, ``fn_array``,
+``fn_map``, ``fn_json``, ``fn_hash``, ``fn_hash_native``.
+"""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

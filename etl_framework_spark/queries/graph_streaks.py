@@ -1,9 +1,12 @@
-"""Round-2 batch 2: graph triangle counting and activity streaks.
+"""Contract keys: ``graph_triangles``, ``events_streaks``,
+``agg_quantiles``, ``llm_char_entropy``, ``llm_prefix_dups``,
+``events_ewma_state``.
+
+Graph triangle counting and activity streaks.
 
 Both are join/window dataflows with exact DuckDB oracles — no
 iteration, no driver state.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -1,4 +1,7 @@
-"""Round-5 batch 82: heteroscedasticity testing, query-likelihood
+"""Contract keys: ``stats_breusch_pagan``, ``llm_query_likelihood``,
+``sales_price_index_fisher``.
+
+Heteroscedasticity testing, query-likelihood
 retrieval, and Fisher price indices.
 
 Reference parity: the reference's regression diagnostics, its
@@ -19,7 +22,6 @@ Scale notes:
   in BOTH months) is one conditional rollup; Laspeyres, Paasche,
   and Fisher are three ratios over its sums.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

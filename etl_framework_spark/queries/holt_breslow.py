@@ -1,4 +1,7 @@
-"""Round-5 batch 120: damped Holt forecast, brand momentum, and the
+"""Contract keys: ``ts_holt_damped``, ``sales_brand_momentum``,
+``stats_breslow_day``.
+
+Damped Holt forecast, brand momentum, and the
 Breslow-Day homogeneity test.
 
 Reference parity: the reference's damped-trend forecaster, its
@@ -16,7 +19,6 @@ Scale notes:
 - ``stats_breslow_day``: each nation-stratum's expected cell is the
   root of a quadratic (closed form) — no iteration anywhere.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

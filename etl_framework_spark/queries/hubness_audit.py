@@ -1,4 +1,7 @@
-"""Round-5 batch 117: volume-discount curve, vector hubness, and
+"""Contract keys: ``sales_volume_discount_curve``, ``vec_hubness``,
+``llm_lang_coverage``.
+
+Volume-discount curve, vector hubness, and
 the language-coverage audit.
 
 Reference parity: the reference's price-structure probe, its
@@ -15,7 +18,6 @@ Scale notes:
   k-occurrence histogram is ONE rollup of the per-query top-k.
 - ``llm_lang_coverage``: (lang, source) rollup → per-lang HHI.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

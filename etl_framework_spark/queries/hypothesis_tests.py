@@ -1,4 +1,7 @@
-"""Round-3 batch 16: the classical hypothesis-testing family rounded
+"""Contract keys: ``stats_ttest_welch``, ``stats_anova``,
+``stats_cramers_v``, ``stats_levene``, ``set_except_distinct``.
+
+The classical hypothesis-testing family rounded
 out — Welch's t, one-way ANOVA, Cramér's V, Brown-Forsythe — plus the
 EXCEPT DISTINCT set op.
 
@@ -19,7 +22,6 @@ shuffle; no test materializes more than |groups| rows after it):
   then a second pass folds |x − med| into ANOVA sums; the join that
   tags each row with its group median broadcasts (|groups| rows).
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

@@ -1,4 +1,7 @@
-"""Round-5 batch 56: k-hop graph reachability, capped sessionization,
+"""Contract keys: ``graph_khop_reach``, ``events_sessionize_cap``,
+``feat_velocity_windows``.
+
+K-hop graph reachability, capped sessionization,
 and multi-horizon velocity features.
 
 Reference parity: the reference's iterative graph traversal, its
@@ -22,7 +25,6 @@ Scale notes:
   user from three RANGE frames over ONE sort (same window ordering
   → Spark reuses the sort across frames); integer-exact.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -1,4 +1,7 @@
-"""Round-5 batch 89: the nonparametric k-sample / paired-sample
+"""Contract keys: ``stats_kruskal_wallis``, ``stats_wilcoxon_signed_rank``,
+``stats_bartlett``.
+
+The nonparametric k-sample / paired-sample
 test kit — Kruskal-Wallis, Wilcoxon signed-rank, and Bartlett.
 
 Reference parity: the reference's hypothesis-test suite — the
@@ -21,7 +24,6 @@ Scale notes:
   average-rank trick on |d|.
 - ``stats_bartlett``: pure moment aggregation — one pass, k rows.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

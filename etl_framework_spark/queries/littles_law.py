@@ -1,4 +1,7 @@
-"""Round-5 batch 97: Little's law audit, assortment overlap, and
+"""Contract keys: ``orders_little_law``, ``sales_assortment_jaccard``,
+``stats_cochran_q``.
+
+Little's law audit, assortment overlap, and
 Cochran's Q.
 
 Reference parity: the reference's ops-analytics and repeated-
@@ -18,7 +21,6 @@ Scale notes:
   one pivot-style conditional aggregation; Q is a closed form over
   four scalar sums.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

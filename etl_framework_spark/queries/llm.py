@@ -5,8 +5,13 @@ language ID, quality filtering, fingerprinting, multimodal columns.
 All dedup candidate generation is bucket-local (LSH bands, or
 metadata blocks) — never an unbounded self-cross-join — so the same
 plans hold at 100 TB: each stage is a hash shuffle on a bounded key.
-"""
 
+Contract keys: ``llm_dedup_exact``, ``llm_dedup_minhash``,
+``llm_dedup_minhash_fast``, ``llm_dedup_jaccard``, ``llm_simhash``,
+``llm_dedup_simhash``, ``llm_text_stats``, ``llm_quality_filter``,
+``llm_lang_id``, ``llm_fingerprint``, ``mm_binary_meta``, ``mm_decode``,
+``mm_framesample``, ``llm_dedup_cc``.
+"""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

@@ -8,8 +8,10 @@ unigram model is a tiny aggregate (|vocab| rows) that BROADCASTS back
 onto the token stream, so the only fact-sized shuffles are the
 partial-aggregating token counts themselves — no join ever shuffles
 the corpus by anything lower-cardinality than (doc_id | tok).
-"""
 
+Contract keys: ``llm_unigram_logprob``, ``llm_zipf_fit``,
+``llm_source_drift``, ``llm_bigram_logprob``, ``llm_textrank``.
+"""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -1,4 +1,7 @@
-"""Round-3 batch 19: long-range dependence (Hurst), JL random
+"""Contract keys: ``ts_hurst``, ``vec_random_projection``,
+``events_user_entropy``.
+
+Long-range dependence (Hurst), JL random
 projection with measured distortion, and behavioral entropy.
 
 Scale notes:
@@ -19,7 +22,6 @@ Scale notes:
   mix folded into a bounded histogram — one partial-agg on
   (user, type), one on user, constant-size output.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

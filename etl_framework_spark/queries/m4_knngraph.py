@@ -1,4 +1,7 @@
-"""Round-5 batch 65: M4 downsampling, kNN-graph quality, and
+"""Contract keys: ``ts_m4_downsample``, ``vec_knn_reciprocity``,
+``events_token_bucket``.
+
+M4 downsampling, kNN-graph quality, and
 token-bucket rate limiting.
 
 Reference parity: the reference's dashboard downsampler, its ANN
@@ -23,7 +26,6 @@ Scale notes:
   fold with [tokens, last_t, dropped] state over the time-sorted
   events; streams fold in parallel.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -4,8 +4,11 @@ maintenance (IVM merge), text scrubbing, salted-join parity.
 
 Scale notes per key live in SCALE.md; every key here carries an exact
 DuckDB oracle.
-"""
 
+Contract keys: ``win_moving_median``, ``win_ewma``, ``events_markov``,
+``fn_zorder``, ``ivm_merge``, ``llm_scrub``, ``stats_equidepth``,
+``join_salted``.
+"""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

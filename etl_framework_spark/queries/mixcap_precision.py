@@ -1,4 +1,7 @@
-"""Round-5 batch 112: water-filling mix caps, numeric precision
+"""Contract keys: ``train_mix_cap_waterfill``, ``dq_numeric_precision``,
+``llm_blocking_efficiency``.
+
+Water-filling mix caps, numeric precision
 audit, and dedup blocking efficiency.
 
 Reference parity: the reference's training-mix designer under
@@ -15,7 +18,6 @@ Scale notes:
 - ``llm_blocking_efficiency``: each strategy is a bucket rollup +
   Σ n(n−1)/2 — the whole cost model never materializes a pair.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

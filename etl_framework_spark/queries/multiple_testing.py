@@ -1,4 +1,7 @@
-"""Round-5 batch 51: multiple-testing control, rank correlation, and
+"""Contract keys: ``stats_fdr_bh``, ``stats_kendall_tau``,
+``stats_trimmed_mean``.
+
+Multiple-testing control, rank correlation, and
 robust means.
 
 Reference parity: the reference's stats/test-suite queries
@@ -19,7 +22,6 @@ Scale notes:
   100 TB swap in approx_percentile bounds (see agg_quantile_approx)
   and keep the same clamp+avg shape.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

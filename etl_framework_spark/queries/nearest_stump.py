@@ -1,4 +1,7 @@
-"""Round-5 batch 57: nearest-value join, decision-stump split search,
+"""Contract keys: ``join_nearest_value``, ``feat_best_split``,
+``stats_cohens_kappa``.
+
+Nearest-value join, decision-stump split search,
 and inter-rater agreement.
 
 Reference parity: the reference's nearest-match join operator, its
@@ -20,7 +23,6 @@ Scale notes:
 - ``stats_cohens_kappa``: the whole 2x2 confusion matrix is one
   conditional aggregation; kappa is a scalar closed form on it.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

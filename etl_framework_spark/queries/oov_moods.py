@@ -1,4 +1,7 @@
-"""Round-5 batch 135: held-out bigram OOV, Mood's median test, and
+"""Contract keys: ``llm_bigram_oov_split``, ``stats_mood_median``,
+``ts_growth_persistence``.
+
+Held-out bigram OOV, Mood's median test, and
 growth-sign persistence.
 
 Reference parity: the reference's LM held-out evaluation, its
@@ -15,7 +18,6 @@ Scale notes:
 - ``ts_growth_persistence``: |months| lag window + 2×2 transition
   counts.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -1,4 +1,7 @@
-"""Round-3 batch 18: PageRank over the token co-occurrence graph,
+"""Contract keys: ``graph_pagerank``, ``llm_bigram_overlap_f1``,
+``dq_fk_orphans``.
+
+PageRank over the token co-occurrence graph,
 ROUGE-2-style bigram overlap for near-dup evidence, and a
 referential-integrity audit.
 
@@ -20,7 +23,6 @@ Scale notes:
   shuffle anti-join on the FK — the cheapest possible referential
   audit, one output row per relationship at any scale.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

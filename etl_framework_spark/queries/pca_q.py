@@ -1,4 +1,6 @@
-"""Round-3 batch 7: principal component analysis as declarative
+"""Contract keys: ``vec_pca_power``.
+
+Principal component analysis as declarative
 dataflow — integer-exact covariance + unrolled power iteration.
 
 Scale notes:
@@ -18,7 +20,6 @@ Scale notes:
   twin bit-for-bit); normalization folds the 64 components in dim
   order.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

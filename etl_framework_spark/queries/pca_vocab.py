@@ -1,4 +1,7 @@
-"""Round-3 batch 9: PCA variance accounting, tokenizer vocab sizing,
+"""Contract keys: ``vec_pca_variance_explained``, ``llm_vocab_oov_curve``,
+``ts_paa_sax``.
+
+PCA variance accounting, tokenizer vocab sizing,
 and symbolic time-series representation.
 
 Scale notes:
@@ -17,7 +20,6 @@ Scale notes:
   bounded series; segment means are exact integer ratios and the
   z-normalization folds in day order, so symbols are engine-exact.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

@@ -1,4 +1,7 @@
-"""Round-5 batch 68: point-in-time feature extraction, partial
+"""Contract keys: ``feat_pit_training_set``, ``stats_partial_corr``,
+``stats_eb_shrinkage``.
+
+Point-in-time feature extraction, partial
 correlation, and empirical-Bayes shrinkage.
 
 Reference parity: the reference's feature-store as-of join, its
@@ -20,7 +23,6 @@ Scale notes:
   rows); the shrunk estimates are expression work — no iteration,
   no per-row fitting.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

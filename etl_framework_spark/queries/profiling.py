@@ -1,8 +1,9 @@
-"""Round-2 batch 3: data profiling, data-quality violation reporting,
+"""Contract keys: ``profile_lineitem``, ``dq_check``, ``events_rfm``.
+
+Data profiling, data-quality violation reporting,
 RFM segmentation — the ETL-framework operational surface (what the
 reference family's validation steps report on), as contract keys.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -12,8 +12,9 @@ run-length pass uses per-doc windows (state bounded by the longest
 document, not the partition). The per-source rollup reduces to
 |sources| rows — broadcast-sized output, map-side combine does the
 heavy lifting.
-"""
 
+Contract keys: ``llm_repetition``, ``llm_quality_by_source``.
+"""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

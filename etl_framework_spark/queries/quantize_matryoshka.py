@@ -1,4 +1,7 @@
-"""Round-3 batch 2: dedup-threshold tuning, curriculum ordering,
+"""Contract keys: ``llm_dedup_threshold_sweep``, ``vec_quantize_int8``,
+``vec_matryoshka``, ``fn_format``, ``llm_ngram_coverage``.
+
+Dedup-threshold tuning, curriculum ordering,
 embedding quantization, matryoshka-truncation evaluation, formatted
 output, and n-gram coverage.
 
@@ -29,7 +32,6 @@ Scale notes:
   n=1,2,3 — distinct-shingle reductions + one equi-join per n;
   everything after the distinct is |types| rows.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

@@ -1,4 +1,8 @@
-"""Round-3 batch 3: rank-based correlation, trend testing, seasonal
+"""Contract keys: ``stats_spearman``, ``stats_mannkendall``,
+``ts_seasonal_strength``, ``llm_semantic_outliers``,
+``join_bloom_prefilter``.
+
+Rank-based correlation, trend testing, seasonal
 strength, and embedding-space outliers.
 
 Scale notes:
@@ -22,7 +26,6 @@ Scale notes:
   sums at all in the normalization); centroid state is
   |labels|×|dims| regardless of corpus size.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

@@ -1,4 +1,7 @@
-"""Round-5 batch 66: multi-rater quality agreement, heavy-tail index
+"""Contract keys: ``llm_quality_ensemble``, ``stats_hill_tail``,
+``graph_assortativity``.
+
+Multi-rater quality agreement, heavy-tail index
 estimation, and graph assortativity.
 
 Reference parity: the reference's ensemble quality gate, its tail-
@@ -20,7 +23,6 @@ Scale notes:
   (small) projected edge set; the coefficient is a Pearson closed
   form over the doubled orientation list.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -1,4 +1,7 @@
-"""Round-5 batch 107: IVF recall sweep, regional share shift, and
+"""Contract keys: ``vec_ivf_recall_sweep``, ``sales_share_shift``,
+``train_length_bucketing``.
+
+IVF recall sweep, regional share shift, and
 length-bucketed batching efficiency.
 
 Reference parity: the reference's ANN quality-knob sweep, its
@@ -17,7 +20,6 @@ Scale notes:
 - ``train_length_bucketing``: two deterministic batchings of the
   same |docs| rollup; padding waste is a per-batch max×size sum.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -1,4 +1,7 @@
-"""Round-5 batch 93: regression structure diagnostics — Chow break
+"""Contract keys: ``stats_chow_test``, ``stats_icc``,
+``stats_durbin_watson``.
+
+Regression structure diagnostics — Chow break
 test, intraclass correlation, Durbin-Watson.
 
 Reference parity: the reference's regression-diagnostics suite —
@@ -17,7 +20,6 @@ Scale notes:
   series before the lag window; residuals are closed-form from five
   broadcast moments.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

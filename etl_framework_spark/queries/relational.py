@@ -9,8 +9,13 @@ DataFrame plan — Catalyst pushes filters/projections to the parquet
 scan, picks broadcast-hash for the small dims (we hint explicitly for
 region/nation), and AQE handles skew/coalescing. No collect()s, no
 Python row loops.
-"""
 
+Contract keys: ``scan_parquet``, ``project_expr``, ``filter_pred``,
+``case_when``, ``distinct_proj``, ``join_inner``, ``join_outer``,
+``join_semi``, ``join_anti``, ``join_broadcast``, ``join_cross``,
+``join_range``, ``join_interval``, ``join_star``, ``topk``,
+``set_union_all``, ``set_union``, ``set_intersect``, ``set_except``.
+"""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

@@ -1,4 +1,7 @@
-"""Round-5 batch 73: precision-recall curve, diagonal-Mahalanobis
+"""Contract keys: ``stats_pr_curve``, ``vec_ood_mahalanobis``,
+``llm_bm25_param_sweep``.
+
+Precision-recall curve, diagonal-Mahalanobis
 OOD scoring, and BM25 hyperparameter sensitivity.
 
 Reference parity: the reference's thresholded-classifier metrics,
@@ -21,7 +24,6 @@ Scale notes:
   one df — the sweep adds zero extra scans); top-10 overlap between
   settings is the rank-stability verdict.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

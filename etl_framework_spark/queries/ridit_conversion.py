@@ -1,4 +1,7 @@
-"""Round-5 batch 113: ridit analysis, conversion-window sweep, and
+"""Contract keys: ``stats_ridit``, ``events_conversion_window_sweep``,
+``stats_seasonal_mann_kendall``.
+
+Ridit analysis, conversion-window sweep, and
 seasonal Mann-Kendall.
 
 Reference parity: the reference's ordinal-outcome comparison, its
@@ -16,7 +19,6 @@ Scale notes:
   within month-of-year groups over the |months| rollup (bounded:
   ~7 years → ≤21 pairs per month-of-year).
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -1,4 +1,7 @@
-"""Round-5 batch 103: ROUGE-L near-dup scoring, quality x dedup
+"""Contract keys: ``llm_rouge_l``, ``llm_quality_dedup_interaction``,
+``dq_partition_volume_anomaly``.
+
+ROUGE-L near-dup scoring, quality x dedup
 interaction, and partition volume anomaly monitoring.
 
 Reference parity: the reference's sequence-similarity scorer
@@ -19,7 +22,6 @@ Scale notes:
 - ``dq_partition_volume_anomaly``: |days| rollup + one trailing
   window; robust stats from windowed integer sums.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

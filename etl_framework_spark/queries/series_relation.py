@@ -1,4 +1,7 @@
-"""Round-5 batch 94: series-relationship analytics — cointegration
+"""Contract keys: ``ts_cointegration_lite``, ``ts_matrix_profile``,
+``ts_forecast_scorecard``.
+
+Series-relationship analytics — cointegration
 probe, matrix-profile discords, forecast-accuracy scorecard.
 
 Reference parity: the reference's advanced time-series ops —
@@ -19,7 +22,6 @@ Scale notes:
   broadcast-dim join + conditional sums; the residual ADF step is
   closed-form from five more sums.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

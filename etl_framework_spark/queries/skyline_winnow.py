@@ -1,4 +1,17 @@
-"""Round-2 batch 5: skyline (Pareto frontier), winnowing fingerprints,
+"""Contract keys: ``orders_skyline``, ``llm_winnowing``,
+``llm_dedup_winnow``, ``events_seasonality``, ``pipeline_curation``,
+``events_attribution``, ``sample_hash_topk``, ``basket_lift``,
+``scd2_asof_lookup``, ``agg_bitops``, ``agg_regression``,
+``events_time_to_convert``, ``stats_rate_ci``, ``stats_chisq``,
+``dq_drift_psi``, ``events_bot_score``, ``agg_listagg``, ``fn_variant``,
+``llm_minhash_est_err``, ``events_forecast_backtest``, ``cohort_ltv``,
+``orders_ship_lag``, ``events_gini``, ``events_mix_drift``,
+``events_ab_test``, ``llm_cluster_purity``, ``events_survival``,
+``llm_dedup_keep_best``, ``train_budget_select``, ``stats_benford``,
+``stats_corr_matrix``, ``stats_iqr_outliers``, ``orders_repeat_rate``,
+``llm_embedding_drift``, ``events_anomaly_mad``, ``supplier_hhi``.
+
+Skyline (Pareto frontier), winnowing fingerprints,
 and load seasonality — three operator shapes the earlier batches don't
 cover.
 
@@ -15,7 +28,6 @@ Scale notes (the 100 TB rationale for each formulation):
 - ``events_seasonality``: 168-cell output regardless of input size;
   partial aggregation does all the work map-side.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -1,4 +1,8 @@
-"""Round-3 batch 1: nonparametric statistical tests, deterministic
+"""Contract keys: ``stats_ks_test``, ``stats_mannwhitney``, ``sketch_cms``,
+``sketch_bloom``, ``ts_cusum``, ``fn_geo``, ``llm_kn_bigram``,
+``llm_eval_xent``, ``shard_manifest``.
+
+Nonparametric statistical tests, deterministic
 sketch structures, geospatial functions, and LM-evaluation operators.
 
 Scale notes (100 TB framing — every op is one or two partial-agg
@@ -30,7 +34,6 @@ shuffles followed by bounded-size reductions):
   doc_id (Knuth multiplicative hash) — reproducible across engines,
   runs, and partitionings; the report is |shards| rows at any scale.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

@@ -1,4 +1,7 @@
-"""Round-5 batch 106: stream-stream join contract key, mutual-
+"""Contract keys: ``stream_join``, ``feat_mi_matrix``,
+``ts_sample_entropy``.
+
+Stream-stream join contract key, mutual-
 information matrix, and sample entropy.
 
 Reference parity: the reference's stream-join operator (T7) surfaced
@@ -17,7 +20,6 @@ Scale notes:
   |days| rollup with integer Chebyshev predicates — exact, and
   quadratic only in |days|.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

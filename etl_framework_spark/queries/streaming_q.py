@@ -6,8 +6,10 @@ harness (etl_framework_spark.streaming) replays the same parquet
 through readStream and must converge to the same answer
 (tests/test_streaming.py). events.ts is second-truncated on both
 sides before windowing (ns-parquet fidelity, SURVEY.md §5.3 rule 4).
-"""
 
+Contract keys: ``stream_tumbling``, ``stream_sliding``,
+``stream_session``, ``stream_dedup``, ``stream_stateful``.
+"""
 from __future__ import annotations
 
 import pandas as pd

@@ -1,4 +1,7 @@
-"""Round-2 batch 6: substring-level dedup, multimodal asset dedup,
+"""Contract keys: ``llm_dedup_substr``, ``mm_dedup_exact``, ``ts_holt``,
+``pipeline_train_prep``.
+
+Substring-level dedup, multimodal asset dedup,
 Holt trend smoothing, and the end-to-end training-prep composite.
 
 Scale notes (the 100 TB rationale for each formulation):
@@ -29,7 +32,6 @@ Scale notes (the 100 TB rationale for each formulation):
   the split is pure arithmetic on doc_id (no RNG, reproducible
   across engines/runs/partitionings).
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

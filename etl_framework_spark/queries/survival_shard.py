@@ -1,4 +1,7 @@
-"""Round-5 batch 58: censoring-aware survival, rendezvous sharding,
+"""Contract keys: ``events_kaplan_meier``, ``shard_rendezvous``,
+``orders_backlog_aging``.
+
+Censoring-aware survival, rendezvous sharding,
 and backlog aging.
 
 Reference parity: the reference's survival-curve operator (with
@@ -21,7 +24,6 @@ Scale notes:
   the report is one conditional aggregation over the open-order
   filter (which Parquet scan pruning serves from the status column).
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -1,4 +1,6 @@
-"""Round-5 batch 90: technical-analysis folds and spectral shape —
+"""Contract keys: ``ts_rsi``, ``ts_bollinger``, ``ts_spectral_entropy``.
+
+Technical-analysis folds and spectral shape —
 RSI (Wilder smoothing), Bollinger-band breaches, spectral entropy.
 
 Reference parity: the reference's indicator/monitoring ops — momentum
@@ -21,7 +23,6 @@ Scale notes:
   the k=1..16 Fourier grid; powers are quantized BEFORE normalizing
   so both engines take log of the same double.
 """
-
 from __future__ import annotations
 
 import math

@@ -1,4 +1,7 @@
-"""Round-5 batch 105: Theil inequality decomposition, EOQ policy
+"""Contract keys: ``agg_theil_index``, ``orders_eoq_policy``,
+``llm_doc_self_similarity``.
+
+Theil inequality decomposition, EOQ policy
 what-if, and document self-similarity.
 
 Reference parity: the reference's inequality analytics (the
@@ -17,7 +20,6 @@ Scale notes:
   (doc, token, half)-keyed; the cosine join is per-doc on the
   vocabulary-bounded count table.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

@@ -1,4 +1,7 @@
-"""Round-5 batch 101: Theta-method forecast, Welch's ANOVA, and
+"""Contract keys: ``ts_theta_method``, ``stats_welch_anova``,
+``stats_meta_analysis``.
+
+Theta-method forecast, Welch's ANOVA, and
 fixed-effects meta-analysis.
 
 Reference parity: the reference's forecasting and multi-group
@@ -16,7 +19,6 @@ Scale notes:
   moments in one scan, then k-row arithmetic. Integer inputs →
   bit-exact.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

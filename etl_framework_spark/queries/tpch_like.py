@@ -7,8 +7,11 @@ Subquery coverage (SURVEY.md §4: decorrelation is Catalyst's job)
 runs through spark.sql over the registered temp views — the E3 entry
 point — so RewriteCorrelatedScalarSubquery / RewritePredicateSubquery
 actually fire.
-"""
 
+Contract keys: ``q3_unshipped``, ``q10_returns``, ``q14_promo``,
+``q19_brackets``, ``subq_scalar``, ``subq_in``, ``subq_correlated``,
+``q2_mincost``, ``q11_threshold``, ``q22_noorders``.
+"""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

@@ -14,8 +14,12 @@ rescans of lineitem, two partial-agg shuffles instead).
 Queries with subqueries/CTEs run through spark.sql (E3) so Catalyst's
 decorrelation rules fire; plain join+agg shapes use the DataFrame API
 (E2) with broadcast hints on dims.
-"""
 
+Contract keys: ``q4_priority``, ``q5_local``, ``q6_forecast``,
+``q7_volume``, ``q8_share``, ``q9_profit``, ``q12_priority_mix``,
+``q13_custdist``, ``q15_topsupp``, ``q17_smallqty``, ``q20_excess``,
+``q21_waiting``.
+"""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

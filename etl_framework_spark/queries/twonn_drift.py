@@ -1,4 +1,7 @@
-"""Round-5 batch 96: boilerplate shingles, two-NN intrinsic
+"""Contract keys: ``llm_boilerplate_shingles``, ``vec_two_nn_dim``,
+``ts_page_hinkley``.
+
+Boilerplate shingles, two-NN intrinsic
 dimension, Page-Hinkley drift detection.
 
 Reference parity: the reference's corpus-hygiene and monitoring ops
@@ -18,7 +21,6 @@ Scale notes:
 - ``ts_page_hinkley``: |days|-sized cumulative windows; the
   running-min fold is a window min, not an iterative loop.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -4,8 +4,11 @@ X1 (row-at-a-time UDF) exists for API parity but is the documented
 slow path; X2–X4 are Arrow-batched (the only Python execution mode
 appropriate at 100 TB). Every Python kernel sorts its inputs before
 float accumulation so results are partition-order invariant.
-"""
 
+Contract keys: ``udf_scalar``, ``udf_pandas``, ``udf_grouped``,
+``udaf_geomean``, ``udtf_explode``, ``udtf_python``,
+``udf_pandas_iter``, ``udf_arrow_map``.
+"""
 from __future__ import annotations
 
 from typing import Iterator, Tuple  # noqa: UP035 — resolvable for Spark's UDF signature inference

@@ -1,4 +1,6 @@
-"""Round-5 batch 98: Qini uplift curve, rich-club coefficient, and
+"""Contract keys: ``events_qini_curve``, ``graph_rich_club``, ``fn_regex``.
+
+Qini uplift curve, rich-club coefficient, and
 the regex function family.
 
 Reference parity: the reference's uplift-evaluation, graph-topology
@@ -16,7 +18,6 @@ Scale notes:
   forms.
 - ``fn_regex``: pure per-row expressions, no shuffle at all.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -6,8 +6,11 @@ Cosine is computed as a strict left fold in float64 on both engines
 (see operators.similarity) so values match bit-for-bit; ranking orders
 by the ROUNDED similarity with a vec_id tiebreak so top-k sets are
 identical even if a future engine diverges in the last ulp.
-"""
 
+Contract keys: ``llm_sim_topk``, ``llm_sim_ann``, ``llm_sim_topk_gemm``,
+``llm_dedup_embedding``, ``llm_centroid``, ``llm_embed_norm``,
+``llm_sim_sq8``.
+"""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -1,4 +1,7 @@
-"""Round-5 batch 108: adstock decay fit, UMass topic coherence, and
+"""Contract keys: ``events_adstock_fit``, ``llm_topic_coherence``,
+``ts_haar_energy``.
+
+Adstock decay fit, UMass topic coherence, and
 Haar wavelet energy decomposition.
 
 Reference parity: the reference's marketing-response transform, its
@@ -17,7 +20,6 @@ Scale notes:
 - ``ts_haar_energy``: level-j coefficients are block rollups of the
   |days| series (group by day_index >> j) — four shrinking passes.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

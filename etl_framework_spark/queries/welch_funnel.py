@@ -1,4 +1,7 @@
-"""Round-5 batch 115: weighted Welch test, curation funnel, and
+"""Contract keys: ``stats_weighted_ttest``, ``llm_curation_funnel``,
+``llm_dedup_audit_sample``.
+
+Weighted Welch test, curation funnel, and
 the borderline-pair audit sample.
 
 Reference parity: the reference's survey-weighted inference, its
@@ -17,7 +20,6 @@ Scale notes:
   banded shingle join as llm_dedup_jaccard; the audit sample is
   hash-ordered (stable across runs and partitions).
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession

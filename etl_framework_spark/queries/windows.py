@@ -9,8 +9,10 @@ Scale: a window = one shuffle on the partition keys + per-partition
 sort. All partition keys here (user_id, custkey, status) are
 high-cardinality or low-skew; no global (unpartitioned) windows over
 big tables.
-"""
 
+Contract keys: ``win_rank``, ``win_lag_lead``, ``win_running_sum``,
+``win_moving_avg``, ``win_range_frame``, ``win_topk_group``.
+"""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W

@@ -191,7 +191,7 @@ def test_simhash_banding_is_recall_exact(spark):
     not an approximation."""
     from etl_framework_spark.operators.dedup import md5_per_token, simhash_bits
     from etl_framework_spark.operators.textops import tokens
-    from etl_framework_spark.queries.extras137 import llm_dedup_simhash_banded
+    from etl_framework_spark.queries.dedup_banded import llm_dedup_simhash_banded
     from etl_framework_spark.catalog import table as _table
 
     got = {

@@ -1,0 +1,81 @@
+"""Naming-debt cleanup is DONE and stays done (VERDICT r9 items 3/4/6).
+
+Rounds 2-6 grew the registry in numbered ``extrasN`` batch modules;
+rounds 8-10 renamed all of them to thematic names. These tests pin the
+end state: no numbered batch modules, no stale "Round-N batch" module
+docstrings, and the historical mapping's targets all exist.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import re
+
+QDIR = "/root/repo/etl_framework_spark/queries"
+
+
+def _modules() -> list[str]:
+    return sorted(
+        f for f in os.listdir(QDIR)
+        if f.endswith(".py") and f != "__init__.py"
+    )
+
+
+def test_no_extras_modules_remain() -> None:
+    stragglers = [f for f in _modules() if re.fullmatch(r"extras\d*\.py", f)]
+    assert not stragglers, f"numbered batch modules crept back: {stragglers}"
+
+
+def test_no_round_batch_docstrings() -> None:
+    """VERDICT r9 item 3's done-criterion: grep for 'Round-N batch' in
+    module docstrings returns nothing — every module's docstring names
+    its actual content, not the historical batch it landed in."""
+    stale = []
+    for f in _modules():
+        doc = ast.get_docstring(ast.parse(open(os.path.join(QDIR, f)).read()))
+        if doc and re.search(r"Round-\d+ batch", doc):
+            stale.append(f)
+    assert not stale, f"stale batch docstrings: {stale}"
+
+
+def test_module_docstrings_name_their_keys() -> None:
+    """Every module registering contract keys must mention at least
+    one of those keys in its module docstring (the rename was FOR
+    legibility — a docstring describing other content defeats it;
+    modules with curated thematic prose carry a trailing
+    'Contract keys:' index paragraph instead)."""
+    offenders = []
+    for f in _modules():
+        src = open(os.path.join(QDIR, f)).read()
+        tree = ast.parse(src)
+        keys = [
+            n.args[0].value
+            for n in ast.walk(tree)
+            if isinstance(n, ast.Call)
+            and getattr(n.func, "id", None) == "query"
+            and n.args
+            and isinstance(n.args[0], ast.Constant)
+        ]
+        if not keys:
+            continue
+        doc = ast.get_docstring(tree) or ""
+        if not any(k in doc for k in keys):
+            offenders.append(f)
+    assert not offenders, (
+        f"module docstrings naming none of their keys: {offenders}"
+    )
+
+
+def test_legacy_mapping_targets_exist() -> None:
+    from etl_framework_spark.queries.extras_legacy import EXTRAS_TO_THEMATIC
+
+    missing = [
+        (old, new)
+        for old, new in EXTRAS_TO_THEMATIC.items()
+        if not os.path.exists(os.path.join(QDIR, f"{new}.py"))
+    ]
+    assert not missing, f"legacy map points at absent modules: {missing}"
+    assert len(EXTRAS_TO_THEMATIC) == 137, (
+        "the historical extrasN population was 137 modules"
+    )
