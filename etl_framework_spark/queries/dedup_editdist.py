@@ -605,71 +605,47 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("prefix_dist").between(0, EDITDIST_TAU))
 
 
-def editdist_candidates(spark: SparkSession, sf_dir: str):
+def editdist_candidates(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+):
     """llm_dedup_editdist's candidate frames, exposed for the scale
     probe's candidate-count instrumentation (VERDICT r8 item 6 — the
     ×30 residual exponent needed its growth source measured, not
     guessed). Returns ``(cand_long, cand_short, pruned)``:
     segment-join candidates (both prefixes 64 chars), the short-doc
     sliver's banded candidates, and their union after the free
-    |Δn| ≤ 16 + bag-distance lower-bound filters — everything that
-    reaches the Levenshtein DP."""
-    prep(spark)
-    from etl_framework_spark.catalog import table as _table
+    |Δn| ≤ 2τ + bag-distance lower-bound filters — everything that
+    reaches the Levenshtein DP.
 
+    ``bucket_cap`` (VERDICT r9 item 5 — the bounded-contract switch
+    for the exp-1.34 candidate growth): when set, each index-side
+    (lang, source, slot, segment) bucket keeps at most ``bucket_cap``
+    entries (smallest doc_ids — deterministic), so total segment-join
+    candidates are ≤ (probe keys ≈ 140·N) × cap: LINEAR in N by
+    construction. The default (None) is the exact contract the oracle
+    checks; the cap is the documented 100 TB regime and is
+    recall-lossy ONLY for pairs whose every matching slot lands in an
+    over-cap bucket — near-identical prefixes match many slots, so in
+    the capped probe runs the kept-pair loss is measured, not assumed
+    (see editdist_bucket_stats for the loud overflow accounting and
+    artifacts/scale_probe.json for measured before/after)."""
+    d, long_d, idx, probe_keys = _editdist_base(spark, sf_dir)
     TAU = EDITDIST_TAU
     delta_n = 2 * EDITDIST_TAU  # |len a − len b| blocking bound (oracle's 16)
-    d = _table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        "source",
-        F.substring("text", 1, 64).alias("pfx"),
-        F.length("text").alias("n"),
-    )
-    d = d.withColumn(
-        "hist",
-        F.expr(
-            "transform(sequence(0, 15),"
-            " i -> size(filter(split(pfx, ''), c -> ascii(c) % 16 = i)))"
-        ),
-    )
+    if bucket_cap is not None:
+        from pyspark.sql import Window as W
 
-    # ---- branch 1: both prefixes exactly 64 chars (n >= 64) --------
-    # fixed 9-segment layout over 64 chars: slot 0 has length 8 at
-    # position 1; slots 1..8 have length 7 at position 7j + 2
-    def _slot(j: int) -> tuple[int, int]:
-        return (1, 8) if j == 0 else (7 * j + 2, 7)
-
-    long_d = d.filter(F.col("n") >= 64)
-    idx_keys = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("slot"),
-                F.substring("pfx", _slot(j)[0], _slot(j)[1]).alias("sub"),
-            )
-            for j in range(TAU + 1)
-        ]
-    )
-    probe_structs = []
-    for j in range(TAU + 1):
-        start, ln = _slot(j)
-        for delta in range(-TAU, TAU + 1):
-            pos = start + delta
-            if pos < 1 or pos + ln - 1 > 64:
-                continue
-            probe_structs.append(
-                F.struct(
-                    F.lit(j).alias("slot"),
-                    F.substring("pfx", pos, ln).alias("sub"),
-                )
-            )
-    probe_keys = F.array(*probe_structs)
-    idx = long_d.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("lang").alias("__l2"),
-        F.col("source").alias("__s2"),
-        F.explode(idx_keys).alias("sg"),
-    ).select("id_b", "__l2", "__s2", "sg.slot", "sg.sub")
+        # deterministic per-bucket truncation: keep the bucket_cap
+        # smallest doc_ids of each (lang, source, slot, segment).
+        # The row_number window is one extra shuffle on exactly the
+        # join key — the same partitioning the candidate join needs,
+        # so AQE reuses the exchange where possible.
+        _w = W.partitionBy("__l2", "__s2", "slot", "sub").orderBy("id_b")
+        idx = (
+            idx.withColumn("__rn", F.row_number().over(_w))
+            .filter(F.col("__rn") <= bucket_cap)
+            .drop("__rn")
+        )
     prb = long_d.select(
         F.col("doc_id").alias("id_a"),
         "lang",
@@ -748,6 +724,115 @@ def editdist_candidates(spark: SparkSession, sf_dir: str):
         F.abs(F.col("__n_a") - F.col("__n_b")) <= delta_n
     ).filter(F.greatest(lb1, lb2) <= TAU)
     return cand_long, cand_short, pruned
+
+
+def llm_dedup_editdist_capped(
+    spark: SparkSession, sf_dir: str, bucket_cap: int
+) -> DataFrame:
+    """The contract key's bounded-candidate scale regime: identical
+    plan to ``llm_dedup_editdist`` but with the per-(lang, source,
+    slot, segment) index bucket cap engaged, so candidate volume — the
+    measured exp-1.34 growth term — is linear in N by construction.
+    Deterministic (buckets keep smallest doc_ids) but recall-lossy on
+    pairs whose every matching slot overflows; NOT registered as a
+    contract key — the probe measures its kept-pair ratio against the
+    exact key so the loss is a recorded number, not a guess."""
+    _, _, pruned = editdist_candidates(spark, sf_dir, bucket_cap=bucket_cap)
+    dist = F.levenshtein(F.col("__pfx_a"), F.col("__pfx_b"), EDITDIST_TAU)
+    return pruned.select(
+        "id_a",
+        "id_b",
+        dist.cast("bigint").alias("prefix_dist"),
+    ).filter(F.col("prefix_dist").between(0, EDITDIST_TAU))
+
+
+def _editdist_base(spark: SparkSession, sf_dir: str):
+    """Shared construction for the PassJoin segment machinery: the doc
+    frame (64-char prefix + length + 16-bucket char histogram), its
+    n ≥ 64 subset, the UNCAPPED index-side (slot, segment) emission,
+    and the probe-side key array expression."""
+    prep(spark)
+    from etl_framework_spark.catalog import table as _table
+
+    TAU = EDITDIST_TAU
+    d = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring("text", 1, 64).alias("pfx"),
+        F.length("text").alias("n"),
+    )
+    d = d.withColumn(
+        "hist",
+        F.expr(
+            "transform(sequence(0, 15),"
+            " i -> size(filter(split(pfx, ''), c -> ascii(c) % 16 = i)))"
+        ),
+    )
+
+    # fixed τ+1 = 9-segment layout over 64 chars: slot 0 has length 8
+    # at position 1; slots 1..8 have length 7 at position 7j + 2
+    def _slot(j: int) -> tuple[int, int]:
+        return (1, 8) if j == 0 else (7 * j + 2, 7)
+
+    long_d = d.filter(F.col("n") >= 64)
+    idx_keys = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("slot"),
+                F.substring("pfx", _slot(j)[0], _slot(j)[1]).alias("sub"),
+            )
+            for j in range(TAU + 1)
+        ]
+    )
+    probe_structs = []
+    for j in range(TAU + 1):
+        start, ln = _slot(j)
+        for delta in range(-TAU, TAU + 1):
+            pos = start + delta
+            if pos < 1 or pos + ln - 1 > 64:
+                continue
+            probe_structs.append(
+                F.struct(
+                    F.lit(j).alias("slot"),
+                    F.substring("pfx", pos, ln).alias("sub"),
+                )
+            )
+    probe_keys = F.array(*probe_structs)
+    idx = long_d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("__l2"),
+        F.col("source").alias("__s2"),
+        F.explode(idx_keys).alias("sg"),
+    ).select("id_b", "__l2", "__s2", "sg.slot", "sg.sub")
+    return d, long_d, idx, probe_keys
+
+
+def editdist_bucket_stats(
+    spark: SparkSession, sf_dir: str, bucket_cap: int
+) -> DataFrame:
+    """Loud overflow accounting for the capped candidate regime
+    (VERDICT r9 item 5): one row summarizing the index-side
+    (lang, source, slot, segment) bucket distribution against
+    ``bucket_cap`` — how many buckets exist, how many overflow the
+    cap, how many index entries the cap drops, and the largest
+    bucket. The scale probe records this next to the capped/uncapped
+    candidate counts so the bound's engagement is measured, never
+    silent."""
+    _, _, idx, _ = _editdist_base(spark, sf_dir)
+    sizes = idx.groupBy("__l2", "__s2", "slot", "sub").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("sz") > bucket_cap).cast("bigint")).alias(
+            "n_buckets_over_cap"
+        ),
+        F.sum(
+            F.greatest(F.col("sz") - bucket_cap, F.lit(0))
+        ).alias("entries_dropped"),
+        F.max("sz").alias("max_bucket"),
+    )
 
 
 @query(

@@ -213,7 +213,13 @@ def build_inflated(base: str, factor: int, rebuild: bool = False) -> str:
     return out_dir
 
 
-def _write(base: str, run_name: str, results: dict, note: str) -> None:
+def _write(
+    base: str,
+    run_name: str,
+    results: dict,
+    note: str,
+    calibration: dict | None = None,
+) -> None:
     """Merge this run's rows into runs[run_name], preserving every
     other run (so an x30 graph probe doesn't clobber the x10 table,
     and a --keys re-probe of one key updates its row only)."""
@@ -232,10 +238,42 @@ def _write(base: str, run_name: str, results: dict, note: str) -> None:
             pass
     run = out["runs"].setdefault(run_name, {"note": note, "keys": {}})
     run["note"] = note
+    if calibration is not None:
+        # machine-state denominator (VERDICT r9 item 7): same
+        # micro-workload bench.py times; lets an exponent refresh
+        # separate machine drift from growth (the r9 editdist A/B hit
+        # a 25-45 s identical-plan spread that this would have caught)
+        run["calibration"] = calibration
     run["keys"].update(results)
     os.makedirs(os.path.dirname(OUT_JSON), exist_ok=True)
     with open(OUT_JSON, "w") as f:
         json.dump(out, f, indent=1)
+
+
+def _calibrate(spark) -> float:
+    """bench.py's fixed machine-state micro-workload (registry- and
+    data-independent: range → codegen expressions → 1024-group shuffle
+    agg), median of 3 after a warmup."""
+
+    def one() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 10_000_000, 1, 32)
+            .selectExpr(
+                "id % 1024 AS g",
+                "id * 2654435761 % 97 AS h",
+                "sin(cast(id AS DOUBLE) / 1e6) AS s",
+            )
+            .groupBy("g")
+            .agg({"h": "sum", "s": "avg"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.time() - t0
+
+    one()
+    return round(sorted(one() for _ in range(3))[1], 3)
 
 
 def _release_persistent_rdds(spark) -> None:
@@ -265,9 +303,13 @@ def _timed(spark, fn, sf: str, reps: int = 3, agg: str = "median") -> float:
     return ts[0] if agg == "min" else ts[len(ts) // 2]
 
 
+EDITDIST_PROBE_CAP = 32  # per-(lang,source,slot,segment) bucket cap
+
+
 def probe_end_to_end(spark, qs, keys, base, big_dir, factor) -> dict:
     results: dict[str, dict] = {}
     warm_sf = os.path.join(os.path.dirname(base.rstrip("/")), "sf0.01")
+    cal = {"start": _calibrate(spark)}
     for key in keys:
         fn = qs[key]
         # isolate keys from each other: cached/checkpointed blocks from
@@ -291,11 +333,13 @@ def probe_end_to_end(spark, qs, keys, base, big_dir, factor) -> dict:
             # VERDICT r8 item 6: measure the candidate-volume growth
             # behind the residual exponent instead of guessing it
             from etl_framework_spark.queries.dedup_editdist import (
+                editdist_bucket_stats,
                 editdist_candidates,
+                llm_dedup_editdist_capped,
             )
 
-            def _cand_counts(sf: str) -> dict:
-                cl, cs, pr = editdist_candidates(spark, sf)
+            def _cand_counts(sf: str, cap=None) -> dict:
+                cl, cs, pr = editdist_candidates(spark, sf, bucket_cap=cap)
                 return {
                     "segment_join": cl.count(),
                     "short_sliver": cs.count(),
@@ -316,6 +360,57 @@ def probe_end_to_end(spark, qs, keys, base, big_dir, factor) -> dict:
                 f"{cb['post_prune']} -> {cx['post_prune']}",
                 flush=True,
             )
+            # VERDICT r9 item 5: the bounded-contract regime, measured.
+            # Capped candidate volume + exponent, loud overflow
+            # accounting at both scales, capped wall exponent, and the
+            # kept-pair ratio vs the exact key (recall loss as a
+            # number, not a guess).
+            cap = EDITDIST_PROBE_CAP
+            ccb = _cand_counts(base, cap=cap)
+            ccx = _cand_counts(big_dir, cap=cap)
+            ccexp = math.log(
+                max(ccx["segment_join"], 1) / max(ccb["segment_join"], 1)
+            ) / math.log(factor)
+            stats = {
+                sf_name: editdist_bucket_stats(spark, sf, cap)
+                .collect()[0]  # single summary row by construction
+                .asDict()
+                for sf_name, sf in (("base", base), (f"x{factor}", big_dir))
+            }
+            capped_fn = lambda s, sf: llm_dedup_editdist_capped(s, sf, cap)
+            t_cap_base = _timed(spark, capped_fn, base)
+            t_cap_big = _timed(spark, capped_fn, big_dir)
+            pairs_exact = qs[key](spark, big_dir).count()
+            pairs_capped = llm_dedup_editdist_capped(
+                spark, big_dir, cap
+            ).count()
+            results[key]["bucket_cap"] = {
+                "cap": cap,
+                "candidates_base": ccb,
+                f"candidates_x{factor}": ccx,
+                "segment_candidates_exponent": round(ccexp, 3),
+                "overflow": stats,
+                "t_base_sec": round(t_cap_base, 3),
+                f"t_x{factor}_sec": round(t_cap_big, 3),
+                "wall_exponent": round(
+                    math.log(max(t_cap_big, 1e-3) / max(t_cap_base, 1e-3))
+                    / math.log(factor),
+                    3,
+                ),
+                f"pairs_exact_x{factor}": pairs_exact,
+                f"pairs_capped_x{factor}": pairs_capped,
+                "kept_pair_ratio": round(
+                    pairs_capped / max(pairs_exact, 1), 4
+                ),
+            }
+            print(
+                f"    capped(cap={cap}): seg {ccb['segment_join']} -> "
+                f"{ccx['segment_join']} (exp={ccexp:.2f}), dropped "
+                f"{stats[f'x{factor}']['entries_dropped']} idx entries in "
+                f"{stats[f'x{factor}']['n_buckets_over_cap']} buckets, "
+                f"kept-pair ratio {pairs_capped}/{pairs_exact}",
+                flush=True,
+            )
         _write(
             base,
             f"x{factor}",
@@ -323,7 +418,18 @@ def probe_end_to_end(spark, qs, keys, base, big_dir, factor) -> dict:
             "exponent = log(T_N/T_1)/log(N); median of 3 timed runs per "
             "scale after an sf0.01 warmup, cache cleared between keys; "
             "disjoint-replica corpus (see module docstring)",
+            calibration=cal,
         )
+    cal["end"] = _calibrate(spark)
+    _write(
+        base,
+        f"x{factor}",
+        results,
+        "exponent = log(T_N/T_1)/log(N); median of 3 timed runs per "
+        "scale after an sf0.01 warmup, cache cleared between keys; "
+        "disjoint-replica corpus (see module docstring)",
+        calibration=cal,
+    )
     return results
 
 
@@ -336,6 +442,8 @@ def probe_fixed_q(spark, keys, base, big_dir, factor) -> dict:
 
     from etl_framework_spark.queries import corpus as corpus_q
     from etl_framework_spark.queries import vector_q
+
+    cal = {"start": _calibrate(spark)}
 
     impls = {
         "llm_sim_topk": vector_q.exact_topk,
@@ -386,7 +494,19 @@ def probe_fixed_q(spark, keys, base, big_dir, factor) -> dict:
             "per_query_exponent = log(marginal_N/marginal_1)/log(N) where "
             "marginal = (T(q2)-T(q1))/(q2-q1), min of 3 runs per point; "
             "fixed_q_e2e_exponent is end-to-end at q2 (build-dominated).",
+            calibration=cal,
         )
+    cal["end"] = _calibrate(spark)
+    _write(
+        base,
+        f"fixed_q_x{factor}",
+        results,
+        f"query set PINNED to replica-0 vectors at q1={q1}/q2={q2}; "
+        "per_query_exponent = log(marginal_N/marginal_1)/log(N) where "
+        "marginal = (T(q2)-T(q1))/(q2-q1), min of 3 runs per point; "
+        "fixed_q_e2e_exponent is end-to-end at q2 (build-dominated).",
+        calibration=cal,
+    )
     return results
 
 
