@@ -87,3 +87,44 @@ def test_editdist_candidate_growth_is_recorded() -> None:
     # end-to-end stays in its documented class even though candidate
     # volume grows super-linearly (the per-candidate work is flat)
     assert row["exponent"] <= 0.85, row["exponent"]
+
+
+def test_editdist_bucket_cap_contract_is_recorded() -> None:
+    """VERDICT r9 item 5: the capped-candidate regime must be measured
+    in the artifact — overflow accounting at both scales, the capped
+    wall exponent within the documented ≤0.75 class, and the kept-pair
+    ratio vs the exact key (1.0 while the cap hasn't engaged; any drop
+    must be visible in the overflow stats, never silent)."""
+    row = _runs().get("x30", {}).get("keys", {}).get("llm_dedup_editdist")
+    assert row and "bucket_cap" in row, "capped regime never probed"
+    cap = row["bucket_cap"]
+    assert cap["cap"] >= 1
+    for scale in ("base", "x30"):
+        st = cap["overflow"][scale]
+        assert st["n_buckets"] > 0
+        assert st["entries_dropped"] >= 0
+        assert st["max_bucket"] >= 1
+        # cap not engaged <=> nothing dropped (consistency)
+        assert (st["n_buckets_over_cap"] == 0) == (
+            st["entries_dropped"] == 0
+        )
+    assert cap["wall_exponent"] <= 0.75, cap["wall_exponent"]
+    if cap["overflow"]["x30"]["entries_dropped"] == 0:
+        assert cap["kept_pair_ratio"] == 1.0, (
+            "no entries dropped but pairs diverged — cap plumbing bug"
+        )
+    else:
+        assert cap["kept_pair_ratio"] >= 0.95, cap["kept_pair_ratio"]
+
+
+def test_probe_runs_carry_calibration() -> None:
+    """VERDICT r9 item 7: probe runs record the machine-state
+    denominator so exponent refreshes can separate drift from growth
+    (the very first calibrated run measured start 1.185 vs end 0.404 —
+    a 3× corpus-build-induced drift the old artifact hid)."""
+    calibrated = [
+        name for name, run in _runs().items()
+        if isinstance(run.get("calibration"), dict)
+        and run["calibration"].get("start", 0) > 0
+    ]
+    assert "x30" in calibrated, "x30 run missing calibration"
