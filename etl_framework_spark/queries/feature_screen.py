@@ -271,8 +271,15 @@ def llm_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     submodular-coverage primitive behind 'pick k exemplar docs for
     the eval set / dedup anchors' — greedy is (1−1/e)-optimal, and
     the marginal-gain column shows the diminishing returns curve.
-    Each step is one anti-join (tokens not yet covered) + one
-    argmax over |docs|; the covered set stays broadcast-sized. Ref:
+    Marginal gain is computed by OVERLAP SUBTRACTION (r10 — was a
+    per-step left-anti join + full groupBy over every shingle, the
+    worst row of the r10 bench sweep at ~5 s): per-doc shingle totals
+    are aggregated ONCE, and each step's marginal is total − |doc ∩
+    covered| via an inner join against the broadcast covered set — so
+    the per-step shuffle is only the rows whose token is already
+    covered (≤ K docs' shingles fan-out), not the whole corpus. The
+    covered set stays a set by anti-joining each pick's shingles
+    against it before the union (both sides broadcast-sized). Ref:
     reference curation-selection tests (cf. train_budget_select for
     the budgeted knapsack cousin)."""
     prep(spark)
@@ -294,14 +301,27 @@ def llm_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     dt = dt.persist()
     vocab_n = dt.select("tok").distinct().count()
-    covered = None  # DataFrame of covered shingles
+    totals = dt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total")
+    ).persist()
+    covered = None  # DataFrame of covered shingles (a set, kept tiny)
     out_rows = []
     cum = 0
     for step in range(1, _GC_K + 1):
-        remaining = dt if covered is None else dt.join(covered, "tok", "left_anti")
-        gain = remaining.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("marginal")
-        )
+        if covered is None:
+            gain = totals.select("doc_id", F.col("total").alias("marginal"))
+        else:
+            overlap = (
+                dt.join(F.broadcast(covered), "tok")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("olap"))
+            )
+            gain = totals.join(overlap, "doc_id", "left").select(
+                "doc_id",
+                (F.col("total") - F.coalesce("olap", F.lit(0))).alias(
+                    "marginal"
+                ),
+            ).filter(F.col("marginal") > 0)
         picked = gain.orderBy(F.desc("marginal"), "doc_id").limit(1).collect()
         if not picked:  # coverage exhausted — mirror the oracle's early stop
             break
@@ -311,9 +331,18 @@ def llm_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (step, int(pick["doc_id"]), int(pick["marginal"]), cum)
         )
         new_cov = dt.filter(F.col("doc_id") == pick["doc_id"]).select("tok")
-        covered = new_cov if covered is None else covered.union(new_cov).distinct()
+        if covered is None:
+            covered = new_cov
+        else:
+            # keep `covered` an exact set (the overlap join would
+            # double-count duplicate tokens): add only genuinely new
+            # tokens — both sides broadcast-sized
+            covered = covered.union(
+                new_cov.join(F.broadcast(covered), "tok", "left_anti")
+            )
         covered = covered.persist()
     dt.unpersist()
+    totals.unpersist()
     res = spark.createDataFrame(
         out_rows, "step int, doc_id bigint, marginal bigint, covered_tokens bigint"
     )
