@@ -113,7 +113,14 @@ def fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_math2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math family, wave 2 (F3): trigonometry, atan2, angle
     conversions, log2/cbrt, hypot (emulated in the oracle — DuckDB
-    lacks hypot), expm1/log1p. All libm-backed → rounded to 6dp."""
+    lacks hypot), expm1/log1p. All libm-backed → rounded to 6dp.
+
+    Timing note (r10, measured): the raw 15-function projection runs
+    0.29 s at sf0.1; the key's ~3 s is F.round — Spark rounds doubles
+    through a per-value BigDecimal (9M allocations here). That cost is
+    the ORACLE-PARITY device (JVM vs C libm differ in the last ulp),
+    not a plan defect; a floor(x·1e6+0.5) rewrite would be ~10× faster
+    but correct only for non-negative values — rejected as fragile."""
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
     d, q, p = F.col("l_discount"), F.col("l_quantity"), F.col("l_extendedprice")
