@@ -301,8 +301,10 @@ def llm_dedup_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass yields both the exploded shingles and the per-doc size —
     # the declarative transform/element_at form evaluated interpreted
     # at ~16 µs/shingle and this query needed it in three subtrees
-    # (9.4 s -> 1.5 s at sf0.1, byte-identical shingles)
-    t = shingles3(docs)
+    # (9.4 s -> 1.5 s at sf0.1, byte-identical shingles). r10: persist
+    # the frame too — the three subtrees (both self-join sides + the
+    # size lookup) otherwise rerun the Arrow UDF thrice.
+    t = shingles3(docs).persist()
     e = t.select("doc_id", "s")
     sz = t.select("doc_id", "n").dropDuplicates(["doc_id"])
     a = e.select(F.col("doc_id").alias("i"), "s")
