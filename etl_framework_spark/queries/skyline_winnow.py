@@ -1108,7 +1108,15 @@ def llm_minhash_est_err(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ia", "ib")
         .agg(F.count("*").cast("double").alias("inter"))
     )
-    sigs = attach_minhash(toksets.withColumn("sz", F.size("ts")), "ts", 16).drop("ts")
+    # persist: the signature self-join references this frame on both
+    # sides — without a cache the 16-permutation md5 signature pipeline
+    # runs twice (same fix as llm_dedup_simhash_banded, r10). Tiny
+    # frame: one row per doc, 16 4-hex-char slices + size.
+    sigs = (
+        attach_minhash(toksets.withColumn("sz", F.size("ts")), "ts", 16)
+        .drop("ts")
+        .persist()
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     agree = sum(
         F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0) for i in range(16)
