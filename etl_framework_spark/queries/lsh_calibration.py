@@ -89,7 +89,10 @@ def llm_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     toksets = docs.select(
         "doc_id", "lang", "source", F.array_distinct(tokens("text")).alias("ts")
     )
-    sigs = attach_minhash(toksets, "ts", _R * _B)
+    # persist: the self-join references the signature frame on both
+    # sides — without a cache the md5 signature pipeline runs twice
+    # (same fix as llm_dedup_simhash_banded / llm_minhash_est_err, r10)
+    sigs = attach_minhash(toksets, "ts", _R * _B).persist()
     a = sigs.alias("a")
     b = sigs.alias("b")
     inter = F.size(F.array_intersect("a.ts", "b.ts")).cast("double")
