@@ -217,9 +217,13 @@ def feat_infogain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # persist: the MI aggregate and the label-entropy branch both
+    # consume the windowed rollup — without a cache the triple scan of
+    # orders + the joint-count shuffle run twice (r10). Tiny frame:
+    # |features| × |levels| × 2 rows.
     j = long.groupBy("feature", "val", "y").agg(
         F.count(F.lit(1)).cast("double").alias("c")
-    )
+    ).persist()
     m = (
         j.withColumn("cx", F.sum("c").over(W.partitionBy("feature", "val")))
         .withColumn("cy", F.sum("c").over(W.partitionBy("feature", "y")))
