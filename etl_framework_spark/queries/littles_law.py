@@ -185,9 +185,12 @@ def sales_assortment_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-set analogue)."""
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
+    # persist: the size rollup and both wedge-join sides consume this
+    # frame — without a cache the lineitem scan + distinct shuffle run
+    # three times (r10). One row per (supplier, part).
     sp = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
+    ).distinct().persist()
     sz = sp.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
     a = sp.select(F.col("s").alias("s1"), "p")
     b = sp.select(F.col("s").alias("s2"), "p")
