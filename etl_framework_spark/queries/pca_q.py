@@ -136,6 +136,11 @@ def _pca_core(spark: SparkSession, sf_dir: str):
     )
     prod = F.col("ca") * F.col("cb")
     qprod = (prod * _SCALE + F.signum(prod) * 0.5).cast("long")
+    # persist: the covariance pass is the ONLY corpus-sized stage and
+    # every downstream consumer (two matvec rounds, the Rayleigh
+    # quotient, both registered keys) referenced it separately — the
+    # unrolled lineage replayed the embeddings self-join ~100+ times
+    # per plan (r10, counted in the golden plans). 4096-row frame.
     cov = (
         a.join(b, F.col("vec_id") == F.col("vid_b"))
         .groupBy("i", "j")
@@ -148,7 +153,7 @@ def _pca_core(spark: SparkSession, sf_dir: str):
                 (F.col("s").cast("double") / _SCALE) / (F.col("n") - 1)
             ).alias("cv"),
         )
-    )
+    ).persist()
 
     def matvec(v_df):
         terms = cov.join(
@@ -180,8 +185,11 @@ def _pca_core(spark: SparkSession, sf_dir: str):
     v0 = spark.range(_DIM).select(
         F.col("id").cast("int").alias("dim"), F.lit(0.125).alias("v")
     )
-    v1 = matvec(v0)
-    v2 = matvec(v1)
+    # persist each 64-row iterate: matvec references its input in two
+    # branches (the product and the norm), so an unpersisted chain
+    # doubles the replayed lineage per round
+    v1 = matvec(v0).persist()
+    v2 = matvec(v1).persist()
     # Rayleigh quotient: fold terms in (i, j) order
     va = v2.select(F.col("dim").alias("i"), F.col("v").alias("va"))
     vb = v2.select(F.col("dim").alias("j"), F.col("v").alias("vb"))
