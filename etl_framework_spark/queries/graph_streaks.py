@@ -76,6 +76,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TRI_TOP)
         .select("tok")
     )
+    # persist: the triangle join references the edge list three times
+    # and the role union multiplies that by three — unpersisted, the
+    # bigram explode over documents replayed 9× (27 scans counted in
+    # the golden plan, r10). ≤ C(TRI_TOP, 2) rows.
     e = (
         pr.join(F.broadcast(top), pr.u == top.tok).drop("tok")
         .join(F.broadcast(top), pr.v == top.tok).drop("tok")
@@ -84,7 +88,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("u", "v").alias("v"),
         )
         .distinct()
-    )
+    ).persist()
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
@@ -97,7 +101,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e1.v").alias("b"),
             F.col("e2.v").alias("c"),
         )
-    )
+    ).persist()  # three role-union branches consume it
     roles = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
