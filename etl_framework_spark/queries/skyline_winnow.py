@@ -184,10 +184,14 @@ def llm_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale (a stop-shingle shared by 1M docs would otherwise create a
     10^12-pair bucket)."""
     prep(spark)
-    win = llm_winnowing(spark, sf_dir).select("doc_id", "fps", "n_fp")
+    # persist: the winnowing fingerprint pipeline (rolling-hash Arrow
+    # kernel) feeds the explode, the df-cap filter, the self-join's
+    # both sides, and the size lookup — unpersisted it replayed ~6×
+    # (counted in the golden plan, r10). One row per doc.
+    win = llm_winnowing(spark, sf_dir).select("doc_id", "fps", "n_fp").persist()
     e = win.select("doc_id", F.explode("fps").alias("fp"))
     keep = e.groupBy("fp").count().filter(F.col("count") <= _FP_DF_CAP).select("fp")
-    e2 = e.join(keep, "fp")
+    e2 = e.join(keep, "fp").persist()  # both self-join sides
     a = e2.alias("a")
     b = e2.alias("b")
     pairs = (
