@@ -108,14 +108,18 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("l", F.col("i")), F.element_at("l", F.col("i") + 1)
         ).alias("b"),
     )
-    edges = adj.distinct()
+    # persist: the edge set feeds both union branches of the adjacency
+    # view plus the final non-adjacency anti-join, and the degree-capped
+    # adjacency feeds both wedge sides — unpersisted, the bigram
+    # explode+distinct replayed 11× (counted in the golden plan, r10)
+    edges = adj.distinct().persist()
     nbr = edges.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
         edges.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
     deg = nbr.groupBy("node").agg(F.count(F.lit(1)).cast("double").alias("d"))
     small = nbr.join(deg, "node").filter(F.col("d") <= _AA_MAX_DEG).select(
         "node", "nb"
-    )
+    ).persist()
     x = small.select(F.col("node").alias("u"), F.col("nb").alias("nb"))
     y = small.select(F.col("node").alias("v"), F.col("nb").alias("nb"))
     dn = deg.select(F.col("node").alias("nb"), F.col("d").alias("dn"))

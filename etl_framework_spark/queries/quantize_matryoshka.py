@@ -135,12 +135,16 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token-explode pair builder (operators/dedup.blocked_jaccard_pairs):
     # zero-overlap pairs never materialize, which is exactly the bucket-0
     # population the suffix sums (starting at i=1) never read.
+    # persist: the pair-count and distinct-drop histograms both consume
+    # this frame — unpersisted, the exact set-intersection pair builder
+    # ran twice (r10). Two small columns per qualifying pair;
+    # MEMORY_AND_DISK spills rather than OOMs at scale.
     pairs = blocked_jaccard_pairs(toksets).select(
         "id_b",
         F.least(F.floor(F.col("jac") * 20.0), F.lit(_SWEEP_STEPS))
         .cast("bigint")
         .alias("bkt"),
-    )
+    ).persist()
     hp = pairs.groupBy("bkt").agg(F.count("*").cast("bigint").alias("cp"))
     hd = (
         pairs.groupBy("id_b")
@@ -560,9 +564,12 @@ def llm_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     is_train = ((F.col("doc_id") % 1000000007) * _K) % _MOD < _TRAIN_LT
+    # persist: the 3 n-gram orders × (train, test) sides = 6 consumers
+    # of the tokenized split — unpersisted, the document scan + split
+    # ran 6× (r10). One row per doc.
     split = d.select(
         F.split("text", " ").alias("l"), is_train.alias("is_train")
-    )
+    ).persist()
     parts = []
     for n in (1, 2, 3):
         sh = split.filter(F.size("l") >= n).select(
