@@ -249,7 +249,12 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from etl_framework_spark.operators.similarity import blocked_cosine_pairs
 
-    a2 = _kmeans_a2(spark, sf_dir).select("vec_id", "cid", "embedding")
+    # persist: the within-cluster pair pruning and the final keep-join
+    # both consume the assignment — unpersisted, the 2-iteration
+    # k-means replayed twice (r10). One row per vector.
+    a2 = _kmeans_a2(spark, sf_dir).select(
+        "vec_id", "cid", "embedding"
+    ).persist()
     # within-cluster pair pruning via the shared slab-fold kernel (one
     # task per cluster; strict fold bits match the oracle CTE exactly)
     drops = (

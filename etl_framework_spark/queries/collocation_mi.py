@@ -103,7 +103,9 @@ def llm_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("double").alias("k11"))
-    )
+    ).persist()  # row/column marginals, the total, and the cell frame
+    # all re-aggregate this rollup — unpersisted, the bigram explode
+    # over documents ran 4× (r10). Vocab²-bounded, realistically small.
     rt = bic.groupBy("w1").agg(F.sum("k11").alias("r1"))
     ct = bic.groupBy("w2").agg(F.sum("k11").alias("c1"))
     nn = bic.agg(F.sum("k11").alias("n"))

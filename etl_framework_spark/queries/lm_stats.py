@@ -199,7 +199,8 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("v"),
         )
         .filter(F.col("v") != "")
-    )
+    ).persist()  # the bigram-count model table and the per-doc scoring
+    # stream both consume this — unpersisted, the explode ran 2× (r10)
     c2 = pairs.groupBy("u", "v").agg(F.count("*").alias("c2"))
     toks = _toks(spark, sf_dir)
     c1 = toks.groupBy("tok").agg(F.count("*").alias("c1")).withColumnRenamed("tok", "u")

@@ -493,6 +493,10 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # (a persist here was tried and REVERTED in r10: caching the
+    # (order, brand) frame broke the self-join's ReusedExchange and
+    # measured 2.0 -> 2.7 s — the shuffle reuse already dedups the
+    # expensive work for the quadratic step)
     ob = (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
