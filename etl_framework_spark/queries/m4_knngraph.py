@@ -183,11 +183,14 @@ def vec_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", cosine(F.col("ea"), F.col("eb")).alias("cos"))
     )
     wk = W.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    # persist: reciprocity (both sides), the edge stats, and the
+    # in-degree rollup all consume the neighbor graph — unpersisted,
+    # the O(s²) cosine + top-k window replayed 4× (r10). s×k rows.
     knn = (
         pr.withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= _KNN_K)
         .select("src", "dst")
-    )
+    ).persist()
     e2 = knn.select(F.col("src").alias("s2"), F.col("dst").alias("d2"))
     recip = knn.join(
         e2, (F.col("src") == F.col("d2")) & (F.col("dst") == F.col("s2"))
