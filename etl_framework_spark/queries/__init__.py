@@ -51,6 +51,7 @@ for _m in [
     "ts_decompose_q",
     "feature_encode",
     "bm25_fusion",
+    "rank_eval",
     "stickiness_retention",
     "stats_sketch_geo",
     "quantize_matryoshka",

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _AA_MAX_DEG = 64
 _AA_TOP = 25
@@ -112,14 +113,14 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # view plus the final non-adjacency anti-join, and the degree-capped
     # adjacency feeds both wedge sides — unpersisted, the bigram
     # explode+distinct replayed 11× (counted in the golden plan, r10)
-    edges = adj.distinct().persist()
+    edges = adj.distinct().transform(persist_tracked)
     nbr = edges.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
         edges.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
     deg = nbr.groupBy("node").agg(F.count(F.lit(1)).cast("double").alias("d"))
     small = nbr.join(deg, "node").filter(F.col("d") <= _AA_MAX_DEG).select(
         "node", "nb"
-    ).persist()
+    ).transform(persist_tracked)
     x = small.select(F.col("node").alias("u"), F.col("nb").alias("nb"))
     y = small.select(F.col("node").alias("v"), F.col("nb").alias("nb"))
     dn = deg.select(F.col("node").alias("nb"), F.col("d").alias("dn"))

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 
 # --------------------------------------------------------------------------
@@ -109,7 +110,7 @@ def ts_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("tot"), F.count(F.lit(1)).cast("double").alias("n")
     )
     cj = c.crossJoin(F.broadcast(tot))
-    cj = cj.persist()
+    cj = cj.transform(persist_tracked)
 
     def best_split(df, n_col, tot_col):
         g = (

@@ -39,6 +39,7 @@ from etl_framework_spark.catalog import table
 from etl_framework_spark.operators.graph import co_occurrence_pairs
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _NBINS = 5
 _KCORE = 6
@@ -243,7 +244,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # difference between O(E·d̄) and O(E·d_max)).
     w0 = co_occurrence_pairs(
         li, "l_partkey", "l_suppkey", max_group_degree=_MAX_PART_DEG
-    ).persist()
+    ).transform(persist_tracked)
     thr = w0.agg(F.percentile("c", 0.9).alias("t"))
     # localCheckpoint (eager) the tiny post-threshold edge set and each
     # peel round: the peel is inherently iterative, and checkpointing

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 K = 8
 DIM = 64  # [OBSERVED embeddings.parquet schema]
@@ -254,7 +255,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k-means replayed twice (r10). One row per vector.
     a2 = _kmeans_a2(spark, sf_dir).select(
         "vec_id", "cid", "embedding"
-    ).persist()
+    ).transform(persist_tracked)
     # within-cluster pair pruning via the shared slab-fold kernel (one
     # task per cluster; strict fold bits match the oracle CTE exactly)
     drops = (

@@ -32,6 +32,7 @@ from etl_framework_spark.catalog import table
 from etl_framework_spark.operators.textops import shingles, tokens
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _MIN_BG = 10  # min bigram count for LLR scoring
 _TOP = 20
@@ -103,7 +104,7 @@ def llm_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("double").alias("k11"))
-    ).persist()  # row/column marginals, the total, and the cell frame
+    ).transform(persist_tracked)  # row/column marginals, the total, and the cell frame
     # all re-aggregate this rollup — unpersisted, the bigram explode
     # over documents ran 4× (r10). Vocab²-bounded, realistically small.
     rt = bic.groupBy("w1").agg(F.sum("k11").alias("r1"))
@@ -225,7 +226,7 @@ def feat_infogain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |features| × |levels| × 2 rows.
     j = long.groupBy("feature", "val", "y").agg(
         F.count(F.lit(1)).cast("double").alias("c")
-    ).persist()
+    ).transform(persist_tracked)
     m = (
         j.withColumn("cx", F.sum("c").over(W.partitionBy("feature", "val")))
         .withColumn("cy", F.sum("c").over(W.partitionBy("feature", "y")))

@@ -31,6 +31,7 @@ from etl_framework_spark.catalog import table
 from etl_framework_spark.operators.textops import tokens
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _CONT_MIN = 0.9
 _B = 64  # bootstrap resamples
@@ -92,7 +93,7 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.filter(tokens("text"), lambda x: x != "")
         ).alias("ts2"),
-    ).persist()
+    ).transform(persist_tracked)
     ex = t.select("doc_id", "lang", "source", F.explode("ts2").alias("tok"))
     a = ex.select(F.col("doc_id").alias("id_a"), "lang", "source", "tok")
     b = ex.select(

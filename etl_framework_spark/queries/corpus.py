@@ -18,6 +18,7 @@ from etl_framework_spark.operators.heavyhitters import heavy_hitters
 from etl_framework_spark.operators.textops import shingles, tokens
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 VOCAB_TOP = 100
 BIGRAM_TOP = 50
@@ -190,7 +191,7 @@ def ivf_topk(
         " transform(sequence(1, size(embedding)), i -> cos(i)),"
         " (x, d) -> x * d), cast(0.0 as double), (acc, v) -> acc + v)"
     ) / (l2_norm(F.col("embedding")) + F.lit(1e-12))
-    embp = emb.withColumn("proj", proj).persist()
+    embp = emb.withColumn("proj", proj).transform(persist_tracked)
     try:
         n = embp.count()  # sizes the quantizer; materializes the cache
         n_labels = 10

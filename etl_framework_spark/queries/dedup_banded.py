@@ -34,6 +34,7 @@ from etl_framework_spark.operators.dedup import (
 from etl_framework_spark.operators.textops import tokens
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _NBITS = 32
 _NBANDS = 4
@@ -84,7 +85,7 @@ def llm_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__h", md5_per_token(F.array_distinct(tokens("text")))
     ).select(
         "doc_id", "lang", simhash_bits(F.col("__h"), _NBITS).alias("sh")
-    ).persist()
+    ).transform(persist_tracked)
     banded = sh.select(
         "doc_id",
         "lang",

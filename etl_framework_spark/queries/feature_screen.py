@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _GC_K = 5  # greedy coverage steps
 
@@ -299,11 +300,11 @@ def llm_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("l", F.col("i") + 2),
         ).alias("tok"),
     ).distinct()
-    dt = dt.persist()
+    dt = dt.transform(persist_tracked)
     vocab_n = dt.select("tok").distinct().count()
     totals = dt.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("total")
-    ).persist()
+    ).transform(persist_tracked)
     covered = None  # DataFrame of covered shingles (a set, kept tiny)
     out_rows = []
     cum = 0
@@ -340,7 +341,7 @@ def llm_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             covered = covered.union(
                 new_cov.join(F.broadcast(covered), "tok", "left_anti")
             )
-        covered = covered.persist()
+        covered = covered.transform(persist_tracked)
     dt.unpersist()
     totals.unpersist()
     res = spark.createDataFrame(

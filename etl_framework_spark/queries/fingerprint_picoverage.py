@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _PFX = [4, 6, 8]  # md5 hex prefix lengths to audit
 
@@ -73,7 +74,7 @@ def llm_fingerprint_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     docs = table(spark, sf_dir, "documents")
     h = docs.select(F.md5("text").alias("h"))
-    h = h.persist()
+    h = h.transform(persist_tracked)
     full = h.agg(F.count_distinct("h").cast("bigint").alias("nf"))
     outs = []
     for p in _PFX:

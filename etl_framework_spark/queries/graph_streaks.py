@@ -16,6 +16,7 @@ from etl_framework_spark.catalog import table
 from etl_framework_spark.operators.textops import shingles, tokens
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 TRI_TOP = 60  # graph restricted to the top-N tokens by frequency
 
@@ -88,7 +89,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("u", "v").alias("v"),
         )
         .distinct()
-    ).persist()
+    ).transform(persist_tracked)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
@@ -101,7 +102,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e1.v").alias("b"),
             F.col("e2.v").alias("c"),
         )
-    ).persist()  # three role-union branches consume it
+    ).transform(persist_tracked)  # three role-union branches consume it
     roles = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _CKPTS = 10
 
@@ -161,7 +162,7 @@ def llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_toks"))
         .withColumn("r", F.row_number().over(W.orderBy("doc_id")))
         .withColumn("n_docs", F.count("*").over(W.partitionBy()))
-        .persist()
+        .transform(persist_tracked)
     )
     cum = ranked_docs.withColumn(
         "cum_toks", F.sum("n_toks").over(W.orderBy("r"))

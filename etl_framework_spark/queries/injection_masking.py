@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _PATTERNS = [
     ("ignore_instructions", r"ignore (all |any )?(previous|prior)"),
@@ -72,7 +73,7 @@ def llm_injection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     benign-quality axis)."""
     prep(spark)
     docs = table(spark, sf_dir, "documents")
-    docs = docs.persist()
+    docs = docs.transform(persist_tracked)
     outs = []
     for name, pat in _PATTERNS:
         hit = F.col("text").rlike(pat)

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _Q_THRESH = 25  # quantity threshold for the binary response
 _AJ_TOP = 10
@@ -190,7 +191,7 @@ def sales_assortment_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three times (r10). One row per (supplier, part).
     sp = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct().persist()
+    ).distinct().transform(persist_tracked)
     sz = sp.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
     a = sp.select(F.col("s").alias("s1"), "p")
     b = sp.select(F.col("s").alias("s2"), "p")

@@ -21,6 +21,7 @@ from etl_framework_spark.catalog import table
 from etl_framework_spark.operators.textops import tokens
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 
 def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,7 +200,7 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("v"),
         )
         .filter(F.col("v") != "")
-    ).persist()  # the bigram-count model table and the per-doc scoring
+    ).transform(persist_tracked)  # the bigram-count model table and the per-doc scoring
     # stream both consume this — unpersisted, the explode ran 2× (r10)
     c2 = pairs.groupBy("u", "v").agg(F.count("*").alias("c2"))
     toks = _toks(spark, sf_dir)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _WINDOWS = (8, 16, 32)
 _PROJ_K = 16
@@ -132,7 +133,7 @@ def ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
             F.row_number().over(W.partitionBy("event_type").orderBy("hr")),
         )
-        .persist()
+        .transform(persist_tracked)
     )
     blocks = None
     for w in _WINDOWS:

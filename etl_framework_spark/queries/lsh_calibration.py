@@ -22,6 +22,7 @@ from etl_framework_spark.catalog import table
 from etl_framework_spark.operators.textops import tokens
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _R = 8  # rows per band (must match llm_dedup_minhash)
 _B = 2  # bands
@@ -92,7 +93,7 @@ def llm_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the self-join references the signature frame on both
     # sides — without a cache the md5 signature pipeline runs twice
     # (same fix as llm_dedup_simhash_banded / llm_minhash_est_err, r10)
-    sigs = attach_minhash(toksets, "ts", _R * _B).persist()
+    sigs = attach_minhash(toksets, "ts", _R * _B).transform(persist_tracked)
     a = sigs.alias("a")
     b = sigs.alias("b")
     inter = F.size(F.array_intersect("a.ts", "b.ts")).cast("double")

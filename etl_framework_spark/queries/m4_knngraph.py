@@ -35,6 +35,7 @@ from etl_framework_spark.catalog import table
 from etl_framework_spark.operators.similarity import cosine, duck_cosine
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _KNN_K = 5
 _KNN_MOD = 10  # sample: vec_id % 10 == 0
@@ -190,7 +191,7 @@ def vec_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr.withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= _KNN_K)
         .select("src", "dst")
-    ).persist()
+    ).transform(persist_tracked)
     e2 = knn.select(F.col("src").alias("s2"), F.col("dst").alias("d2"))
     recip = knn.join(
         e2, (F.col("src") == F.col("d2")) & (F.col("dst") == F.col("s2"))

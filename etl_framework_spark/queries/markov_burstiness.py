@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _ITERS = 3
 _TOP_FREQ = 100
@@ -106,9 +107,9 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("c").over(W.partitionBy("src")).cast("double"),
         )
         .select("src", "dst", "p")
-        .persist()
+        .transform(persist_tracked)
     )
-    types = trans.select(F.col("src").alias("t")).distinct().persist()
+    types = trans.select(F.col("src").alias("t")).distinct().transform(persist_tracked)
     n = types.count()
     emp = table(spark, sf_dir, "events").groupBy(
         F.col("event_type").alias("t")

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _DAMP = 0.85
 _ITERS = 3
@@ -116,11 +117,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    sym = sym.persist()
+    sym = sym.transform(persist_tracked)
     deg = (
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.count("*").cast("double").alias("d"))
-        .persist()
+        .transform(persist_tracked)
     )
     n = deg.count()  # also materializes deg/sym
     r = deg.select("node", "d", (F.lit(1.0) / F.lit(float(n))).alias("r"))
@@ -213,7 +214,7 @@ def llm_bigram_overlap_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x, y: F.concat_ws(" ", x, y),
             )
         ).alias("bigs"),
-    ).persist()
+    ).transform(persist_tracked)
     ex = bg.select(
         "doc_id", "lang", "source", F.explode("bigs").alias("big")
     )

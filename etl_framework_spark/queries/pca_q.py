@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _DIM = 64
 _SCALE = 1_000_000_000_000  # 1e12 quantization for integer-exact sums
@@ -153,7 +154,7 @@ def _pca_core(spark: SparkSession, sf_dir: str):
                 (F.col("s").cast("double") / _SCALE) / (F.col("n") - 1)
             ).alias("cv"),
         )
-    ).persist()
+    ).transform(persist_tracked)
 
     def matvec(v_df):
         terms = cov.join(
@@ -188,8 +189,8 @@ def _pca_core(spark: SparkSession, sf_dir: str):
     # persist each 64-row iterate: matvec references its input in two
     # branches (the product and the norm), so an unpersisted chain
     # doubles the replayed lineage per round
-    v1 = matvec(v0).persist()
-    v2 = matvec(v1).persist()
+    v1 = matvec(v0).transform(persist_tracked)
+    v2 = matvec(v1).transform(persist_tracked)
     # Rayleigh quotient: fold terms in (i, j) order
     va = v2.select(F.col("dim").alias("i"), F.col("v").alias("va"))
     vb = v2.select(F.col("dim").alias("j"), F.col("v").alias("vb"))

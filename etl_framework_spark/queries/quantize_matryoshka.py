@@ -43,6 +43,7 @@ from etl_framework_spark.operators.similarity import duck_cosine
 from etl_framework_spark.operators.textops import tokens
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 # Knuth multiplicative-hash split constants (as training.train_split).
 _K = 2654435761
@@ -144,7 +145,7 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.floor(F.col("jac") * 20.0), F.lit(_SWEEP_STEPS))
         .cast("bigint")
         .alias("bkt"),
-    ).persist()
+    ).transform(persist_tracked)
     hp = pairs.groupBy("bkt").agg(F.count("*").cast("bigint").alias("cp"))
     hd = (
         pairs.groupBy("id_b")
@@ -569,7 +570,7 @@ def llm_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ran 6× (r10). One row per doc.
     split = d.select(
         F.split("text", " ").alias("l"), is_train.alias("is_train")
-    ).persist()
+    ).transform(persist_tracked)
     parts = []
     for n in (1, 2, 3):
         sh = split.filter(F.size("l") >= n).select(

@@ -32,6 +32,7 @@ from etl_framework_spark.catalog import table
 from etl_framework_spark.operators.graph import co_occurrence_pairs
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _HILL_K = 100
 
@@ -265,7 +266,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpersisted, the whole pair build replayed once per consumer.
     w0 = co_occurrence_pairs(
         li, "l_partkey", "l_suppkey", max_group_degree=200
-    ).persist()
+    ).transform(persist_tracked)
     thr = w0.agg(F.percentile("c", 0.9).alias("t"))
     w = (
         w0.crossJoin(F.broadcast(thr))

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _IVF_K = 10  # top-k recall target
 _IVF_NQ = 20  # query vectors (lowest vec_ids)
@@ -135,7 +136,7 @@ def vec_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
-    e = e.persist()
+    e = e.transform(persist_tracked)
     dims = e.select(
         "label", F.posexplode(F.col("v")).alias("d0", "val")
     ).select(F.col("label").alias("clabel"), (F.col("d0") + 1).alias("dim"), "val")
@@ -196,7 +197,7 @@ def vec_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dkey"),
         )
     )
-    pairs = pairs.persist()
+    pairs = pairs.transform(persist_tracked)
     exact = pairs.select(
         "qid",
         "did",

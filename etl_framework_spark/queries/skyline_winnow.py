@@ -37,6 +37,7 @@ from etl_framework_spark.catalog import table
 from etl_framework_spark.operators.textops import shingles, tokens
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 
 # --------------------------------------------------------------------------
@@ -188,10 +189,10 @@ def llm_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kernel) feeds the explode, the df-cap filter, the self-join's
     # both sides, and the size lookup — unpersisted it replayed ~6×
     # (counted in the golden plan, r10). One row per doc.
-    win = llm_winnowing(spark, sf_dir).select("doc_id", "fps", "n_fp").persist()
+    win = llm_winnowing(spark, sf_dir).select("doc_id", "fps", "n_fp").transform(persist_tracked)
     e = win.select("doc_id", F.explode("fps").alias("fp"))
     keep = e.groupBy("fp").count().filter(F.col("count") <= _FP_DF_CAP).select("fp")
-    e2 = e.join(keep, "fp").persist()  # both self-join sides
+    e2 = e.join(keep, "fp").transform(persist_tracked)  # both self-join sides
     a = e2.alias("a")
     b = e2.alias("b")
     pairs = (
@@ -1123,7 +1124,7 @@ def llm_minhash_est_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = (
         attach_minhash(toksets.withColumn("sz", F.size("ts")), "ts", 16)
         .drop("ts")
-        .persist()
+        .transform(persist_tracked)
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     agree = sum(
@@ -1555,7 +1556,7 @@ def llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         a2.join(emb, "vec_id")
         .groupBy("cid", "label")
         .agg(F.count("*").cast("double").alias("c"))
-    ).persist()
+    ).transform(persist_tracked)
     tot = cont.agg(F.sum("c").alias("n"))
     pc = cont.groupBy("cid").agg(F.sum("c").alias("nc"))
     pl = cont.groupBy("label").agg(F.sum("c").alias("nl"))

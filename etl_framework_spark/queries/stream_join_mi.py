@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _SE_R = 50  # sample-entropy tolerance (quantity units)
 
@@ -167,7 +168,7 @@ def feat_mi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "disc_band": F.floor(F.col("l_discount") * 20).cast("string"),
     }
     base = li.select(*[e.alias(n) for n, e in feats.items()])
-    base = base.persist()
+    base = base.transform(persist_tracked)
     names = list(feats)
     outs = []
     for i in range(len(names)):

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _COS_MIN = 0.8
 
@@ -99,7 +100,7 @@ def llm_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "source", "tok",
             (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("w"),
         )
-        .persist()
+        .transform(persist_tracked)
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
@@ -212,7 +213,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.a", "p.b")
         .filter(F.col("a") != F.col("b"))
     )
-    edges = prs.distinct().persist()
+    edges = prs.distinct().transform(persist_tracked)
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _AUDIT_LO, _AUDIT_HI = 0.02, 0.85  # borderline similarity band
 _AUDIT_N = 10
@@ -304,7 +305,7 @@ def llm_dedup_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (9.4 s -> 1.5 s at sf0.1, byte-identical shingles). r10: persist
     # the frame too — the three subtrees (both self-join sides + the
     # size lookup) otherwise rerun the Arrow UDF thrice.
-    t = shingles3(docs).persist()
+    t = shingles3(docs).transform(persist_tracked)
     e = t.select("doc_id", "s")
     sz = t.select("doc_id", "n").dropDuplicates(["doc_id"])
     a = e.select(F.col("doc_id").alias("i"), "s")

@@ -99,13 +99,37 @@ def current_round(repo_root: str = _REPO_ROOT) -> int:
     return max(rounds) + 1
 
 
+def _record_json(path: str, repo_root: str) -> dict:
+    """Content of one driver record AS COMMITTED (``git show
+    HEAD:<name>``), falling back to the disk file when git is
+    unavailable. Reading the working-tree copy would let an edit to an
+    already-committed record shift the rotation head even though
+    ``_record_files`` pins the NAME set to HEAD (ADVICE r10: the
+    'pure function of the commit' claim held only for filenames)."""
+    name = _os.path.basename(path)
+    try:
+        out = _subprocess.run(
+            ["git", "-C", repo_root, "show", f"HEAD:{name}"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if out.returncode == 0:
+            return _json.loads(out.stdout)
+    except Exception:
+        pass
+    with open(path) as fh:
+        return _json.load(fh)
+
+
 def driver_recorded_keys(repo_root: str = _REPO_ROOT) -> set[str]:
-    """Every key that has appeared in ANY committed driver record."""
+    """Every key that has appeared in ANY committed driver record —
+    names AND content resolved against the HEAD tree, so the rotation
+    head is a pure function of the commit."""
     seen: set[str] = set()
     for f in _record_files(repo_root):
         try:
-            with open(f) as fh:
-                seen.update(_json.load(fh).keys())
+            seen.update(_record_json(f, repo_root).keys())
         except Exception:
             continue  # unreadable record never blocks registration
     return seen

@@ -42,3 +42,31 @@ def test_bench_calibration_is_registry_independent() -> None:
     assert cal is not None, "bench.py lost its cal_run workload"
     assert "spark.range" in cal
     assert "qs[" not in cal and "sf_dir" not in cal
+
+
+def test_bench_all_median_is_symmetric() -> None:
+    """ADVICE r10 items 2-3: the retime estimator is median-of-all-
+    samples (symmetric — cannot only lower the record the way
+    min-of-medians could)."""
+    import tools.bench_all as ba
+
+    assert ba.median([3.0, 1.0, 2.0]) == 2.0
+    assert ba.median([1.0, 2.0, 3.0, 10.0]) == 2.5
+    # a burst in the FIRST pass is voted out by the second...
+    assert ba.median([9.0, 9.5, 9.2] + [1.0, 1.1, 1.2]) < 6
+    # ...and a genuinely slow key cannot dip under noise: one lucky
+    # fast sample in the second pass does not drag the merged median
+    # below the true plateau
+    assert ba.median([5.0, 5.1, 5.2] + [0.5, 5.0, 5.1]) >= 5.0
+
+
+def test_bench_all_prior_requires_matching_sf(tmp_path) -> None:
+    """ADVICE r10 item 3: a prior artifact taken at a different scale
+    factor must not seed the suspect thresholds. Source-level check:
+    the guard exists and gates prior_times."""
+    import inspect
+
+    import tools.bench_all as ba
+
+    src = inspect.getsource(ba.main)
+    assert 'prior.get("sf_dir") == args.sf' in src

@@ -235,3 +235,31 @@ def test_untracked_record_keys_equal_current_head() -> None:
             f"missing={sorted(head - keys)[:5]} "
             f"extra={sorted(keys - head)[:5]}"
         )
+
+
+def test_recorded_keys_read_committed_content_not_working_tree() -> None:
+    """ADVICE r10 item 1: _record_files pins the record NAME set to
+    HEAD, but key content must also come from HEAD — an (uncommitted)
+    edit to an already-committed CORRECTNESS_r*.json must not shift
+    the rotation head."""
+    import json
+    import shutil
+
+    from etl_framework_spark.registry import driver_recorded_keys
+
+    target = "/root/repo/CORRECTNESS_r01.json"
+    backup = target + ".bak_test"
+    before = driver_recorded_keys()
+    assert before, "expected committed driver records"
+    shutil.copy(target, backup)
+    try:
+        with open(target) as fh:
+            doc = json.load(fh)
+        doc["__tampered_key__"] = {"rows_match": True}
+        with open(target, "w") as fh:
+            json.dump(doc, fh)
+        after = driver_recorded_keys()
+    finally:
+        shutil.move(backup, target)
+    assert "__tampered_key__" not in after
+    assert after == before

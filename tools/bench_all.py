@@ -37,8 +37,20 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from etl_framework_spark import cacheutil  # noqa: E402
+
 RETIME_FACTOR = 3.0   # fresh > 3× prior ⇒ suspect burst
 RETIME_ABS_SEC = 5.0  # no prior row ⇒ absolute suspicion threshold
+
+
+def median(xs: list[float]) -> float:
+    """Median (mean-of-middle-two on even n), rounded to ms. The
+    retime pass keeps the median of ALL samples from both passes —
+    symmetric, unlike min-of-medians which could only lower the
+    record (ADVICE r10)."""
+    s = sorted(xs)
+    mid = len(s) // 2
+    return round(s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2, 3)
 
 
 def main() -> None:
@@ -79,36 +91,34 @@ def main() -> None:
         return time.time() - t0
 
     def release_blocks() -> None:
-        # clearCache drops DataFrame caches but NOT RDDs pinned by
-        # localCheckpoint (iterative graph keys) or per-call persist()
-        # — without this, blocks accumulate across the 615-key sweep
-        # and depress later keys (same fix as tools/scale_probe.py;
-        # the r8 sweep measured graph_khop_reach at 22.7 s in-sweep
-        # vs 7.3 s isolated before this cleanup existed).
-        spark.catalog.clearCache()
-        try:
-            jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            for jrdd in list(jmap.values()):
-                jrdd.unpersist(False)
-        except Exception:
-            pass
+        # Shared helper: tracked persists + DataFrame cache catalog +
+        # JVM persistent-RDD map (localCheckpoint blocks). Without it,
+        # blocks accumulate across the 615-key sweep and depress later
+        # keys (graph_khop_reach: 22.7 s in-sweep vs 7.3 s isolated
+        # before this cleanup existed).
+        cacheutil.release_all(spark)
 
-    def timed_median(key: str) -> float:
+    def timed_samples(key: str) -> list[float]:
         # same methodology as bench.py: one untimed warmup (plan
-        # compile + codegen), then median of 3 — min-of-2 was still
+        # compile + codegen), then 3 timed reps — min-of-2 was still
         # showing multi-second GC-pause outliers on sub-second keys
         run(key)
-        return round(sorted(run(key) for _ in range(3))[1], 3)
+        return [run(key) for _ in range(3)]
 
     prior_times: dict[str, float] = {}
+    prior = {}
     if os.path.exists(args.out):
         try:
             prior = json.load(open(args.out))
-            prior_times = dict(prior.get("queries", {}))
         except Exception:
             prior = {}
-    else:
-        prior = {}
+        # a prior artifact taken at a DIFFERENT scale factor is not a
+        # timing baseline: flagging fresh times against it marks nearly
+        # every key a suspect and doubles the sweep (ADVICE r10)
+        if prior.get("sf_dir") == args.sf:
+            prior_times = dict(prior.get("queries", {}))
+        else:
+            prior = {}
 
     run("agg_groupby")  # session warmup, untimed
     cal_run()
@@ -127,10 +137,12 @@ def main() -> None:
         failures.update(prior.get("failures", {}) if prior else {})
         for k in subset:
             failures.pop(k, None)
+    samples: dict[str, list[float]] = {}
     for key in subset or sorted(qs):
         release_blocks()
         try:
-            times[key] = timed_median(key)
+            samples[key] = timed_samples(key)
+            times[key] = median(samples[key])
         except Exception as e:  # noqa: BLE001 — record, keep sweeping
             # drop any stale merged timing too — a key must never sit
             # in both 'queries' and 'failures' (ADVICE r9)
@@ -139,6 +151,12 @@ def main() -> None:
         print(f"{key:28s} {times.get(key, 'FAIL')}", flush=True)
 
     # --- self-healing re-time pass (different machine moment) -------
+    # Suspects get 3 MORE samples and keep the median of all 6 — a
+    # symmetric estimator: a steal burst in the first pass is voted
+    # out, but the second pass cannot only-lower the record the way a
+    # min-of-two-medians could (ADVICE r10: that asymmetry gave
+    # genuine regressions an extra chance to dip under noise). Both
+    # pass medians are recorded either way.
     suspects = [
         k for k in (subset or sorted(qs))
         if k in times and (
@@ -150,14 +168,16 @@ def main() -> None:
     for key in suspects:
         release_blocks()
         try:
-            again = timed_median(key)
+            again = timed_samples(key)
         except Exception:  # noqa: BLE001 — first timing stands
             continue
-        if again < times[key]:
-            retimed[key] = {"first": times[key], "healed": again}
-            times[key] = again
-        else:
-            retimed[key] = {"first": times[key], "healed": times[key]}
+        merged = median(samples[key] + again)
+        retimed[key] = {
+            "first": times[key],
+            "second": median(again),
+            "kept": merged,
+        }
+        times[key] = merged
         print(f"retime {key:21s} {times[key]}", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

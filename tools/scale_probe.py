@@ -280,14 +280,11 @@ def _release_persistent_rdds(spark) -> None:
     """clearCache() drops DataFrame-cached blocks but NOT RDDs pinned
     by localCheckpoint (graph keys) — without this, a 20-key probe
     accumulates checkpointed blocks in executor memory and depresses
-    later keys' timings (ADVICE r7)."""
-    spark.catalog.clearCache()
-    try:
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for jrdd in list(jmap.values()):
-            jrdd.unpersist(False)
-    except Exception as exc:  # diagnostic only — never fail the probe
-        print(f"  (persistent-RDD cleanup skipped: {exc})", flush=True)
+    later keys' timings (ADVICE r7). Delegates to the shared
+    cacheutil.release_all so tracked persists drain too (ADVICE r10)."""
+    from etl_framework_spark import cacheutil
+
+    cacheutil.release_all(spark)
 
 
 def _timed(spark, fn, sf: str, reps: int = 3, agg: str = "median") -> float:
