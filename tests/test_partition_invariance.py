@@ -73,6 +73,9 @@ FLOAT_SENSITIVE = [
     "ts_theta_method",
     "stats_meta_analysis",
     "ts_holt_damped",
+    "rank_ndcg",
+    "rank_map_mrr",
+    "rank_rbo",
 ]
 
 
