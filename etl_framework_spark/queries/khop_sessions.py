@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
+from etl_framework_spark.cacheutil import persist_tracked
 
 _K_HOPS = 4
 _SEED_SUPP = 1
@@ -81,30 +82,45 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative-traversal tests (cf. llm_dedup_cc, cte_recursive)."""
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
+    # Node ids stay BIGINT end to end (supplier k → 2k, part k →
+    # 2k+1): the oracle's 's:'/'p:' strings exist only to disambiguate
+    # the two key spaces and to split the final counts, and parity
+    # does both at a fraction of the shuffle width — string keys cost
+    # ~2× the bytes and a string hash per probe across all k rounds
+    # (r11 isolated A/B at sf0.1, median-of-3: 5.02 s → 4.25 s,
+    # value-identical).
     fwd = li.select(
-        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     ).distinct()
     # Materialize the edge list ONCE (persist): it feeds every one of
     # the k frontier joins, and unpersisted it re-ran the
-    # lineitem-distinct pipeline per round. Each frontier/visited
-    # round localCheckpoints — BFS is inherently iterative, and
-    # truncating the lineage keeps round i from re-dragging rounds
-    # 1..i-1 through the planner (same fix as graph_kcore_peel, r7).
-    # No distinct on the union: the forward branch has src='s:*' and
-    # the reversed branch src='p:*' — disjoint namespaces, and fwd is
+    # lineitem-distinct pipeline per round. Each frontier round
+    # localCheckpoints — BFS is inherently iterative, and truncating
+    # the lineage keeps round i from re-dragging rounds 1..i-1
+    # through the planner (same fix as graph_kcore_peel, r7).
+    # No distinct on the union: the forward branch has even src, the
+    # reversed branch odd src — disjoint key spaces, and fwd is
     # already distinct, so the union is dup-free by construction
     # (dropping the redundant 1.2M-row exchange).
     edges = fwd.unionAll(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    visited = (
+    ).transform(persist_tracked)
+    seed = (
         spark.range(1)
-        .select(F.concat(F.lit("s:"), F.lit(_SEED_SUPP)).alias("node"))
+        .select(F.lit(2 * _SEED_SUPP).cast("long").alias("node"))
         .withColumn("lvl", F.lit(0))
         .localCheckpoint()
     )
-    frontier = visited
+    # `visited` stays a lazy unionAll of ALREADY-checkpointed
+    # frontiers — every leaf is materialized, so its lineage is one
+    # flat union regardless of round, and only the (small) new
+    # frontier pays a checkpoint job per hop. Measured neutral at
+    # sf0.1 (visited is tiny there), but it removes the O(k·|visited|)
+    # re-materialization term — the piece that grows with graph size
+    # at 100 TB, where late-round visited sets dominate the frontier.
+    visited = seed
+    frontier = seed
     for i in range(1, _K_HOPS + 1):
         nxt = (
             frontier.join(edges, frontier.node == edges.src)
@@ -114,14 +130,14 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("lvl", F.lit(i))
             .localCheckpoint()
         )
-        visited = visited.unionAll(nxt).localCheckpoint()
+        visited = visited.unionAll(nxt)
         frontier = nxt
     edges.unpersist()
     return visited.groupBy("lvl").agg(
-        F.count(F.when(F.col("node").startswith("s:"), 1))
+        F.count(F.when(F.col("node") % 2 == 0, 1))
         .cast("bigint")
         .alias("n_suppliers"),
-        F.count(F.when(F.col("node").startswith("p:"), 1))
+        F.count(F.when(F.col("node") % 2 == 1, 1))
         .cast("bigint")
         .alias("n_parts"),
     )
