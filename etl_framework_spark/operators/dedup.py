@@ -318,8 +318,11 @@ def prefix_filtered_jaccard_pairs(
     Why this is exact: if jac(A,B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉, and A's
     suffix holds only ⌈τ·|A|⌉ − 1 tokens — so at least one common
     token sits in A's prefix (one-sided: no assumption about its
-    position in B, which is the part of the symmetric PPJoin prefix
-    theorem that does NOT hold at these prefix lengths). ⌈τ·n⌉ is
+    position in B). The SYMMETRIC prefix×prefix variant is ALSO exact
+    at these per-doc lengths — see ppjoin_candidate_pairs, which
+    ships it with PPJoin's length and positional filters; what does
+    not transfer to an unordered distributed join is only the
+    shorter size-sorted INDEXING prefix. ⌈τ·n⌉ is
     computed in integer arithmetic ((n·num + den − 1) div den): a
     float ceil(0.2·15) = ceil(3.0000000000000004) = 4 would shorten
     the prefix and silently drop pairs.
@@ -334,36 +337,14 @@ def prefix_filtered_jaccard_pairs(
     Input: (doc_id, lang, source, ts) with ts distinct tokens.
     Output: (id_a, id_b, jac) for all qualifying pairs, exact.
     """
-    from pyspark.sql import Window as W
-
     tok = toksets.select(
         "doc_id", "lang", "source", F.explode("ts").alias("tok")
     )
-    dfreq = tok.groupBy("lang", "source", "tok").agg(
-        F.count("*").alias("__df")
-    )
-    ranked = tok.join(dfreq, ["lang", "source", "tok"])
-    wd = W.partitionBy("doc_id").orderBy("__df", "tok")
-    pre = (
-        ranked.select(
-            "doc_id",
-            "lang",
-            "source",
-            "tok",
-            F.row_number().over(wd).alias("__rk"),
-            F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("__n"),
-        )
-        # prefix length p = n - ceil(tau*n) + 1. ⌈τ·n⌉ uses true integer
-        # division (`div`), never a float path: n·num + den − 1 stays in
-        # long arithmetic end to end, so exactness needs no argument
-        # about double precision at all (ADVICE r7).
-        .filter(
-            F.col("__rk")
-            <= F.col("__n")
-            - F.expr(f"(__n * {tau_num} + {tau_den - 1}) div {tau_den}")
-            + 1
-        )
-    )
+    # prefix length p = n - ceil(tau*n) + 1. ⌈τ·n⌉ uses true integer
+    # division (`div`), never a float path: n·num + den − 1 stays in
+    # long arithmetic end to end, so exactness needs no argument
+    # about double precision at all (ADVICE r7).
+    pre = _rarity_prefixed(toksets, tau_num, tau_den)
     pa = pre.select(F.col("doc_id").alias("id_a"), "lang", "source", "tok")
     tb = tok.select(
         F.col("doc_id").alias("id_b"),
@@ -383,6 +364,16 @@ def prefix_filtered_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("__shared_pref"))
         .drop("__shared_pref")
     )
+    return verify_exact_jaccard(cand, toksets, tau_num, tau_den)
+
+
+def verify_exact_jaccard(
+    cand: DataFrame, toksets: DataFrame, tau_num: int, tau_den: int
+) -> DataFrame:
+    """Verification stage shared by every filter-then-verify set-
+    similarity join: join candidate (id_a, id_b) pairs back to their
+    token sets and keep exact Jaccard ≥ τ. Work is bounded by the
+    CANDIDATE count — the whole point of the filtering stages."""
     sa = toksets.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("__ta"))
     sb = toksets.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("__tb"))
     inter = F.size(F.array_intersect("__ta", "__tb")).cast("double")
@@ -402,4 +393,133 @@ def prefix_filtered_jaccard_pairs(
             ).alias("jac"),
         )
         .filter(F.col("jac") >= F.lit(tau_num) / F.lit(tau_den))
+    )
+
+
+def _rarity_prefixed(
+    toksets: DataFrame, tau_num: int, tau_den: int
+) -> DataFrame:
+    """Per-block rarity-ordered token positions with the per-doc
+    prefix mark: (doc_id, lang, source, tok, __rk, __n) for tokens in
+    each doc's n − ⌈τ·n⌉ + 1 prefix. ⌈τ·n⌉ in integer arithmetic
+    (see prefix_filtered_jaccard_pairs)."""
+    from pyspark.sql import Window as W
+
+    tok = toksets.select(
+        "doc_id", "lang", "source", F.explode("ts").alias("tok")
+    )
+    dfreq = tok.groupBy("lang", "source", "tok").agg(
+        F.count("*").alias("__df")
+    )
+    ranked = tok.join(dfreq, ["lang", "source", "tok"])
+    wd = W.partitionBy("doc_id").orderBy("__df", "tok")
+    return (
+        ranked.select(
+            "doc_id",
+            "lang",
+            "source",
+            "tok",
+            F.row_number().over(wd).alias("__rk"),
+            F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("__n"),
+        )
+        .filter(
+            F.col("__rk")
+            <= F.col("__n")
+            - F.expr(f"(__n * {tau_num} + {tau_den - 1}) div {tau_den}")
+            + 1
+        )
+    )
+
+
+def ppjoin_candidate_pairs(
+    toksets: DataFrame, tau_num: int, tau_den: int
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from SYMMETRIC prefix filtering
+    plus PPJoin's length and positional filters (Xiao/Wang/Lin/Yu,
+    'Efficient Similarity Joins for Near Duplicate Detection',
+    WWW'08) — a subset of the one-sided AllPairs candidates that the
+    same exact-verify stage then confirms.
+
+    Why prefix×prefix is exact HERE (correcting the one-sided
+    docstring's over-broad caveat): jac ≥ τ forces overlap
+    α = ⌈τ/(1+τ)·(n_a+n_b)⌉, and n_b ≥ τ·n_a (the intersection fits
+    inside B), so α ≥ ⌈τ·n_a⌉ and ≥ ⌈τ·n_b⌉. The SSJoin prefix lemma
+    says the (n−α+1)-prefixes must share a token; our per-doc
+    prefixes of length n − ⌈τ·n⌉ + 1 CONTAIN those, so they share one
+    too. What genuinely does not transfer to an unordered distributed
+    join is PPJoin's shorter INDEXING prefix (n − ⌈2τ/(1+τ)·n⌉ + 1),
+    which is only sound under the size-sorted scan order — not used
+    here.
+
+    Length filter (join predicate, integer-exact): τ·n_a ≤ n_b and
+    τ·n_b ≤ n_a, i.e. n_b·den ≥ n_a·num both ways — prunes size-
+    mismatched pairs before they cost a shuffle row.
+
+    Positional filter: let t₁ be the FIRST shared prefix token in the
+    global rarity order, at positions (i₁, j₁). Every other common
+    token sorts after t₁ (if it sorted before, it would sit in both
+    prefixes before t₁ — contradiction), so it lies past i₁ in A and
+    past j₁ in B: overlap ≤ 1 + min(n_a − i₁, n_b − j₁). Pairs where
+    that bound misses α are dropped WITHOUT touching their token
+    sets. t₁ is recovered per pair as min(struct(rk_a, rk_b)) —
+    positions are monotone in the global order, so the lexicographic
+    min is the first shared token's position pair."""
+    pre = _rarity_prefixed(toksets, tau_num, tau_den)
+    pa = pre.select(
+        F.col("doc_id").alias("id_a"),
+        "lang",
+        "source",
+        "tok",
+        F.col("__rk").alias("__rka"),
+        F.col("__n").alias("__na"),
+    )
+    pb = pre.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("__l2"),
+        F.col("source").alias("__s2"),
+        F.col("tok").alias("__t2"),
+        F.col("__rk").alias("__rkb"),
+        F.col("__n").alias("__nb"),
+    )
+    matched = pa.join(
+        pb,
+        (F.col("lang") == F.col("__l2"))
+        & (F.col("source") == F.col("__s2"))
+        & (F.col("tok") == F.col("__t2"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.col("__nb") * tau_den >= F.col("__na") * tau_num)
+        & (F.col("__na") * tau_den >= F.col("__nb") * tau_num),
+    )
+    first = matched.groupBy("id_a", "id_b").agg(
+        F.min(F.struct("__rka", "__rkb")).alias("__p"),
+        F.min("__na").alias("__na"),
+        F.min("__nb").alias("__nb"),
+    )
+    # α = ⌈τ/(1+τ)·(n_a+n_b)⌉ in pure integer arithmetic:
+    # ((n_a+n_b)·num + (num+den) − 1) div (num+den)
+    alpha = F.expr(
+        f"((__na + __nb) * {tau_num} + {tau_num + tau_den - 1}) "
+        f"div {tau_num + tau_den}"
+    )
+    ubound = 1 + F.least(
+        F.col("__na") - F.col("__p.__rka"),
+        F.col("__nb") - F.col("__p.__rkb"),
+    )
+    return first.filter(ubound >= alpha).select("id_a", "id_b")
+
+
+def ppjoin_jaccard_pairs(
+    toksets: DataFrame, tau_num: int, tau_den: int
+) -> DataFrame:
+    """Exact blocked Jaccard ≥ τ via symmetric-prefix + length +
+    positional filtering (PPJoin-style), then exact verification.
+    Same result set as prefix_filtered_jaccard_pairs and the plain
+    blocked join — strictly fewer candidates reach the verify stage
+    (both prefix sides are ~(1−τ)·n long, and the length/positional
+    gates prune before any token-set materializes)."""
+    return verify_exact_jaccard(
+        ppjoin_candidate_pairs(toksets, tau_num, tau_den),
+        toksets,
+        tau_num,
+        tau_den,
     )

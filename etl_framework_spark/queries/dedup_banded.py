@@ -1,5 +1,5 @@
 """Contract keys: ``llm_dedup_simhash_banded``,
-``llm_dedup_jaccard_prefix``.
+``llm_dedup_jaccard_prefix``, ``llm_dedup_jaccard_ppjoin``.
 
 Banded SimHash dedup — the measured scale path.
 
@@ -152,9 +152,9 @@ def llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1 (two extra shuffles to rank rarity), which is why BOTH
     contracts ship: the token join for small blocks, this for scale.
     Ref: Bayardo et al., 'Scaling Up All Pairs Similarity Search'
-    (WWW'07), one-sided prefix variant (the symmetric PPJoin prefix
-    theorem does not hold at these prefix lengths — see the operator
-    docstring)."""
+    (WWW'07), one-sided prefix variant; llm_dedup_jaccard_ppjoin
+    below tightens it with the symmetric prefix plus PPJoin's length
+    and positional filters."""
     prep(spark)
     from etl_framework_spark.operators.dedup import (
         prefix_filtered_jaccard_pairs,
@@ -169,4 +169,48 @@ def llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(_tokens("text")).alias("ts"),
     )
     out = prefix_filtered_jaccard_pairs(toksets, 1, 5)
+    return out.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+
+
+_PP_NUM, _PP_DEN = 7, 10  # τ = 0.7 — the regime where PPJoin's
+# filters pay: prefixes shrink to ~0.3·n (vs 0.8·n at the τ=0.2
+# keys), so prefix×prefix + length + positional pruning bites
+
+_JAC_PPJOIN_ORACLE = _JAC_ORACLE.replace(">= 0.2", f">= {_PP_NUM / _PP_DEN}")
+
+
+@query("llm_dedup_jaccard_ppjoin", oracle=_JAC_PPJOIN_ORACLE)
+def llm_dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blocked Jaccard ≥ 0.7 via SYMMETRIC prefix filtering
+    plus PPJoin's length and positional filters (Xiao/Wang/Lin/Yu,
+    WWW'08) — the high-threshold near-dup contract, where these
+    filters actually pay (at the τ=0.2 keys the prefixes are 80% of
+    each doc and the reduction measured ~nil). Both join sides shrink
+    to the n−⌈τn⌉+1 rarest tokens (prefix×prefix instead of
+    prefix×full — exact because the required overlap
+    α = ⌈τ/(1+τ)(n_a+n_b)⌉ is ≥ ⌈τn⌉ on each side, so these prefixes
+    contain the SSJoin lemma's (n−α+1)-prefixes), size-mismatched
+    pairs are pruned by an integer length predicate inside the join,
+    and the first-shared-token positional bound
+    1 + min(n_a−i₁, n_b−j₁) < α drops survivors before any token set
+    materializes. Measured at sf0.01: 948 candidate pairs reach
+    verification vs 1 559 for the one-sided prefix path at the same
+    τ (1.64× fewer; 657 true pairs) — the verify stage is the
+    Σ|candidates| term at 100 TB, so the filter stack is the scale
+    lever, and tests/test_ppjoin.py pins both the reduction and
+    pair-set equality with the one-sided path. Ref: reference
+    near-dup family tests (cf. llm_dedup_jaccard / _prefix — same
+    exact-verify contract, tighter filter)."""
+    prep(spark)
+    from etl_framework_spark.operators.dedup import ppjoin_jaccard_pairs
+    from etl_framework_spark.operators.textops import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents")
+    toksets = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(_tokens("text")).alias("ts"),
+    )
+    out = ppjoin_jaccard_pairs(toksets, _PP_NUM, _PP_DEN)
     return out.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
