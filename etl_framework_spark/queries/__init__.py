@@ -52,6 +52,7 @@ for _m in [
     "feature_encode",
     "bm25_fusion",
     "rank_eval",
+    "privacy_dp",
     "stickiness_retention",
     "stats_sketch_geo",
     "quantize_matryoshka",

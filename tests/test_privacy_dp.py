@@ -1,0 +1,54 @@
+"""DP release keys (queries/privacy_dp.py).
+
+The oracle sweep pins exact values; these tests pin the MECHANISM
+claims: calibration of the seeded Laplace draw, sensitivity bounding,
+and bit-reproducibility of the release.
+"""
+
+from __future__ import annotations
+
+import math
+
+import __spark_entry__ as ent
+from tests.conftest import SF_SMALL
+
+
+def test_noisy_counts_reproducible_and_calibrated(spark):
+    q = ent.queries()["dp_noisy_counts"]
+    a = {(r.segment, r.n_noisy) for r in q(spark, SF_SMALL).collect()}
+    b = {(r.segment, r.n_noisy) for r in q(spark, SF_SMALL).collect()}
+    assert a == b  # seeded draw: the release is bit-reproducible
+    rows = q(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        noise = r.n_noisy - r.n_true
+        # Laplace(b=1) tail: P(|noise| > 20) = e^-20 ≈ 2e-9 — a draw
+        # outside that betrays a broken inverse-CDF, not bad luck
+        assert abs(noise) < 20, r
+        assert noise != 0  # u is never exactly 0.5 by construction
+        assert r.epsilon == 1.0
+
+
+def test_contribution_bound_dominates_and_clips(spark):
+    rows = ent.queries()["dp_contribution_bounded_hist"](
+        spark, SF_SMALL
+    ).collect()
+    assert len(rows) == 5
+    assert any(r.clipped_share > 0 for r in rows)  # the cap must bite
+    for r in rows:
+        assert 0 <= r.n_bounded <= r.n_raw
+        assert 0.0 <= r.clipped_share < 1.0
+        assert r.sensitivity == 3.0
+        # Laplace(b=3) tail at 60 = e^-20
+        assert abs(r.n_noisy - r.n_bounded) < 60
+
+
+def test_laplace_inverse_cdf_formula():
+    """The closed form both engines fold: u→−b·sign(u−½)·ln(1−2|u−½|)
+    must invert the Laplace CDF (plain-Python check, no Spark)."""
+    b = 2.0
+    for u in (0.01, 0.25, 0.5 + 2**-33, 0.75, 0.99):
+        x = -b * math.copysign(1, u - 0.5) * math.log(1 - 2 * abs(u - 0.5))
+        # CDF of Laplace(0, b) at x must give back u
+        cdf = 0.5 + 0.5 * math.copysign(1, x) * (1 - math.exp(-abs(x) / b))
+        assert math.isclose(cdf, u, rel_tol=1e-9), (u, x, cdf)
