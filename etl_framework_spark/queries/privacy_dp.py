@@ -1,4 +1,5 @@
-"""Contract keys: ``dp_noisy_counts``, ``dp_contribution_bounded_hist``.
+"""Contract keys: ``dp_noisy_counts``, ``dp_contribution_bounded_hist``,
+``dp_quantile_release``.
 
 Differential-privacy release primitives — the two mechanical pieces a
 pipeline needs before publishing aggregate statistics about user-level
@@ -23,6 +24,10 @@ Scale notes:
   natural key, no global sort — then the same partial-agg count.
   The clipped share column reports how much signal the bound costs,
   which is the tuning loop DP practitioners actually run.
+- ``dp_quantile_release``: the #below curve for all 64 candidate
+  edges comes from one bucketed count + a 64-row running rollup —
+  never a per-candidate scan — so the exponential mechanism costs a
+  single partial-agg shuffle at any corpus size.
 """
 from __future__ import annotations
 
@@ -183,4 +188,110 @@ def dp_contribution_bounded_hist(
             F.lit(float(_CAP_K)).alias("sensitivity"),
         )
         .orderBy("priority")
+    )
+
+
+_Q_BIN = 8000          # candidate edge spacing for the quantile release
+_Q_NBINS = 64          # candidates cover [8000, 512000] ⊇ o_totalprice
+_Q_EPS = 1.0
+
+
+@query(
+    "dp_quantile_release",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CAST(least(floor(o_totalprice / {_Q_BIN}),
+                        {_Q_NBINS - 1}) AS BIGINT) AS b,
+             count(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    cands AS (SELECT unnest(generate_series(1, {_Q_NBINS})) AS i),
+    below AS (
+      SELECT i, CAST(i * {_Q_BIN} AS BIGINT) AS edge,
+             coalesce((SELECT sum(c) FROM binned WHERE b < i), 0) AS n_below
+      FROM cands
+    ),
+    tot AS (SELECT count(*) AS n,
+                   round(median(o_totalprice), 6) AS true_median
+            FROM orders),
+    scored AS (
+      SELECT i, edge, n_below,
+             -abs(n_below - n / 2.0) * {_Q_EPS} / 2.0
+             + (-ln(-ln((('0x' || substr(md5('dpq:' || i), 1, 8))::UBIGINT
+                          + 0.5) / {_TWO32}.0))) AS score,
+             n, true_median
+      FROM below CROSS JOIN tot
+    )
+    SELECT CAST(edge AS BIGINT) AS released_edge,
+           CAST(n_below AS BIGINT) AS n_below,
+           CAST(n_below - n / 2.0 AS DOUBLE) AS rank_err,
+           true_median, {_Q_EPS} AS epsilon
+    FROM scored
+    ORDER BY score DESC, i LIMIT 1
+    """,
+)
+def dp_quantile_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP median release via the EXPONENTIAL MECHANISM (McSherry &
+    Talwar FOCS'07) with the Gumbel-max implementation: candidates
+    are the 64 fixed bin edges i·8000, utility is −|#below(edge) −
+    n/2| (sensitivity 1 per user), and the mechanism's softmax draw
+    is realized as argmax(ε·u/2 + Gumbel) with a SEEDED md5-Gumbel —
+    bit-reproducible, exactly oracle-checked; swap secure randomness
+    in for a real release. The #below curve for ALL candidates comes
+    from one bucketed count + a 64-row running sum — never a
+    per-candidate scan — so the mechanism costs one partial-agg
+    shuffle at any corpus size. Reports the released edge, its rank
+    error, and the true median for the utility readout."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    binned = orders.groupBy(
+        F.least(
+            F.floor(F.col("o_totalprice") / _Q_BIN), F.lit(_Q_NBINS - 1)
+        )
+        .cast("bigint")
+        .alias("b")
+    ).agg(F.count("*").alias("c"))
+    cands = spark.range(1, _Q_NBINS + 1).select(F.col("id").alias("i"))
+    below = (
+        cands.join(F.broadcast(binned), F.col("b") < F.col("i"), "left")
+        .groupBy("i")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_below"))
+        .select("i", (F.col("i") * _Q_BIN).cast("bigint").alias("edge"), "n_below")
+    )
+    tot = orders.agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("o_totalprice", 0.5), 6).alias("true_median"),
+    )
+    u_gum = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dpq:"), F.col("i"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(_TWO32))
+    score = (
+        -F.abs(F.col("n_below") - F.col("n") / 2.0) * _Q_EPS / 2.0
+        + (-F.log(-F.log(u_gum)))
+    )
+    scored = below.crossJoin(F.broadcast(tot)).select(
+        "i",
+        "edge",
+        "n_below",
+        "n",
+        "true_median",
+        score.alias("score"),
+    )
+    return (
+        scored.orderBy(F.desc("score"), "i")
+        .limit(1)
+        .select(
+            F.col("edge").alias("released_edge"),
+            F.col("n_below").cast("bigint").alias("n_below"),
+            (F.col("n_below") - F.col("n") / 2.0)
+            .cast("double")
+            .alias("rank_err"),
+            "true_median",
+            F.lit(_Q_EPS).alias("epsilon"),
+        )
     )

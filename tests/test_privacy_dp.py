@@ -52,3 +52,18 @@ def test_laplace_inverse_cdf_formula():
         # CDF of Laplace(0, b) at x must give back u
         cdf = 0.5 + 0.5 * math.copysign(1, x) * (1 - math.exp(-abs(x) / b))
         assert math.isclose(cdf, u, rel_tol=1e-9), (u, x, cdf)
+
+
+def test_quantile_release_utility_and_reproducibility(spark):
+    q = ent.queries()["dp_quantile_release"]
+    r1 = q(spark, SF_SMALL).collect()[0]
+    r2 = q(spark, SF_SMALL).collect()[0]
+    assert r1 == r2  # seeded Gumbel: reproducible
+    assert r1.released_edge % 8000 == 0
+    # exponential-mechanism utility bound: P(rank err > (2/eps)(ln K + t))
+    # <= e^-t; with K=64 candidates and eps=1, err > 2*(ln 64 + 20) ~ 48
+    # would betray a broken score, not bad luck
+    assert abs(r1.rank_err) < 50, r1
+    # the released edge should bracket the true median within one bin
+    # of the best candidate (utility is within the same bound)
+    assert abs(r1.released_edge - r1.true_median) < 8000 + 50 * 8000 / 250
