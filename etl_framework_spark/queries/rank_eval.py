@@ -154,7 +154,9 @@ def rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     graded-relevance report a pipeline uses to compare retrieval
     variants on pseudo-labels. The log base cancels in DCG/IDCG, so
     ln-discounts are used in both engines (one less libm surface).
-    Both folds run in rank order over ≤10 terms."""
+    Both folds run in rank order over ≤10 terms. Ref: reference
+    retrieval-evaluation tests (cf. llm_bm25, rank_fusion — the
+    rankers these metrics grade)."""
     prep(spark)
     ranked = _ranked(spark, sf_dir).transform(persist_tracked)  # feeds both the DCG and the ideal-DCG branches
     dcg = (
@@ -243,7 +245,9 @@ def rank_map_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x + 0.0 == x in IEEE, and it keeps list_reduce's input provably
     non-empty); Spark folds the hit terms only — bit-identical.
     No ``--`` comments in the oracle: the registry collapses the SQL
-    to one line, so a line comment would swallow the query."""
+    to one line, so a line comment would swallow the query. Ref:
+    reference retrieval-evaluation tests (cf. stats_auc_pit for the
+    threshold-free cousin)."""
     prep(spark)
     ranked = _ranked(spark, sf_dir)
     flags = ranked.select(
@@ -350,7 +354,8 @@ def rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(rank_a, rank_b), so the per-depth overlap is a count over a
     broadcast theta-join of the ≤50-row entry list against the 50-row
     depth table — constant work at any corpus size. The 50-term sum
-    folds in depth order."""
+    folds in depth order. Ref: reference ranker-comparison tests
+    (cf. rank_fusion — RBO grades what RRF merges)."""
     prep(spark)
     d = table(spark, sf_dir, "documents")
     a = (
