@@ -139,3 +139,24 @@ def test_yaml_session_attribution_job(spark):
     ).collect()
     for r in ids:
         assert r.lo == 1 and r.n == r.hi
+
+
+def test_yaml_dp_release_job(spark):
+    """The DP-release example spec: contribution bounding → seeded
+    Laplace → validated view. The noise is seeded, so two runs of the
+    config produce the identical release (the property the example
+    exists to demonstrate)."""
+    run_pipeline_file(spark, f"{EXAMPLES}/dp_release.yaml")
+    rows = {
+        r.priority: r.n_noisy
+        for r in spark.table("example_dp_release").collect()
+    }
+    assert len(rows) == 5
+    run_pipeline_file(spark, f"{EXAMPLES}/dp_release.yaml")
+    again = {
+        r.priority: r.n_noisy
+        for r in spark.table("example_dp_release").collect()
+    }
+    assert rows == again
+    for p, v in rows.items():
+        assert v > 0  # counts are in the hundreds; Laplace(3) can't sink them
