@@ -31,6 +31,11 @@ def normalize_plan(plan: str) -> str:
     plan = re.sub(r"file:[^\],\s]*/(spark-warehouse|tmp)[^\],\s]*", r"file:.../\1", plan)
     # Python-RDD scans embed the session-global RDD id
     plan = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[x]", plan)
+    # common-expression elimination (nullif/With) names its refs from a
+    # session-global counter, like exprIds (_common_expr_0 when the key
+    # runs solo, _common_expr_10 mid-sweep — r11 caught rank_map_mrr
+    # drifting on exactly this)
+    plan = re.sub(r"_common_expr_\d+", "_common_expr_x", plan)
     # localCheckpoint call sites name a JVM reflection frame that varies
     # with how the JVM was entered (NativeMethodAccessorImpl.java:0 vs
     # <unknown>:0) — environmental, not a plan property

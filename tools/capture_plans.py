@@ -55,6 +55,19 @@ def main() -> int:
         for key in changed:
             print(f"PLAN CHANGED: {key}  (diff artifacts/plans/{key}.txt "
                   f"vs fresh capture; re-run without --verify to accept)")
+            # show the drift inline — a mismatch a fresh solo capture
+            # cannot reproduce is otherwise undiagnosable (the tempdir
+            # holding the fresh plan is gone when this function returns)
+            with open(os.path.join(args.out, f"{key}.txt")) as fg:
+                g_lines = fg.read().splitlines()
+            with open(os.path.join(tmp, f"{key}.txt")) as ff:
+                f_lines = ff.read().splitlines()
+            import difflib
+
+            for line in difflib.unified_diff(
+                g_lines, f_lines, "golden", "fresh", lineterm="", n=1
+            ):
+                print(f"    {line}")
         for key in missing:
             print(f"NO GOLDEN: {key}")
         print(f"{len(qs) - len(changed) - len(missing)}/{len(qs)} plans match")
