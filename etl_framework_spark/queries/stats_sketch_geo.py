@@ -1,6 +1,6 @@
 """Contract keys: ``stats_ks_test``, ``stats_mannwhitney``, ``sketch_cms``,
-``sketch_bloom``, ``ts_cusum``, ``fn_geo``, ``llm_kn_bigram``,
-``llm_eval_xent``, ``shard_manifest``.
+``sketch_bloom``, ``sketch_ams_f2``, ``ts_cusum``, ``fn_geo``,
+``llm_kn_bigram``, ``llm_eval_xent``, ``shard_manifest``.
 
 Nonparametric statistical tests, deterministic
 sketch structures, geospatial functions, and LM-evaluation operators.
@@ -970,4 +970,97 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("n_tokens").over(wall) / F.lit(float(_SHARDS))),
             6,
         ).alias("load_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# AMS tug-of-war sketch — self-join-size / F2 estimation (exact oracle)
+# --------------------------------------------------------------------------
+_AMS_J = 256       # sign counters
+_AMS_GROUPS = 16   # median-of-means: 16 groups × 16 counters
+
+
+@query(
+    "sketch_ams_f2",
+    oracle=f"""
+    WITH df AS (
+      SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+    ),
+    exact AS (SELECT sum(c * c) AS f2 FROM df),
+    js AS (SELECT unnest(generate_series(0, {_AMS_J - 1})) AS j),
+    z AS (
+      SELECT js.j,
+             sum(df.c * (CAST(('0x' || substr(md5(js.j::VARCHAR || ':' ||
+                                              df.k::VARCHAR), 1, 8))::UBIGINT
+                              % 2 AS BIGINT) * 2 - 1)) AS zj
+      FROM df CROSS JOIN js GROUP BY js.j
+    ),
+    grp AS (
+      SELECT j % {_AMS_GROUPS} AS g, sum(zj * zj) AS gsum
+      FROM z GROUP BY 1
+    ),
+    est AS (
+      SELECT median(CAST(gsum AS DOUBLE)) / {_AMS_J // _AMS_GROUPS}.0
+               AS ams_est
+      FROM grp
+    )
+    SELECT CAST(exact.f2 AS BIGINT) AS exact_f2,
+           round(est.ams_est, 2) AS ams_est,
+           round(abs(est.ams_est - exact.f2) / exact.f2, 6) AS rel_err
+    FROM exact CROSS JOIN est
+    """,
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join-size / second-frequency-moment estimation with the
+    AMS tug-of-war sketch (Alon-Matias-Szegedy STOC'96): 256 sign
+    counters Z_j = Σ_k df(k)·s_j(k) with DETERMINISTIC md5 signs,
+    median of 16 group-means of Z_j² — the one-pass, mergeable
+    statistic a planner uses to predict the Σdf² shuffle blowup of a
+    self-join (the exact quantity this repo's dedup docstrings warn
+    about) BEFORE running it. Each Z_j is a plain sum, so the sketch
+    partial-aggregates across 1000 executors in one shuffle; the
+    estimate is exact-integer until the final median-of-means
+    division, so the DuckDB oracle pins build AND probe (CMS cannot
+    estimate F2 usefully — its inner-product error grows with F1²/w;
+    AMS error is a RELATIVE √(2/16)≈18%-per-group, tamed by the
+    median). The rel_err column measures the estimator against the
+    exact Σdf² computed alongside. Ref: reference sketch-estimator
+    tests (cf. sketch_cms, agg_approx_distinct)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    df = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    exact = df.agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
+    js = spark.range(_AMS_J).select(F.col("id").cast("int").alias("j"))
+    sign = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j"), F.lit(":"), F.col("k"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ) * 2 - 1
+    z = (
+        df.crossJoin(F.broadcast(js))
+        .groupBy("j")
+        .agg(F.sum(F.col("c") * sign).alias("zj"))
+    )
+    grp = z.groupBy((F.col("j") % _AMS_GROUPS).alias("g")).agg(
+        F.sum(F.col("zj") * F.col("zj")).alias("gsum")
+    )
+    est = grp.agg(
+        (
+            F.percentile(F.col("gsum").cast("double"), 0.5)
+            / float(_AMS_J // _AMS_GROUPS)
+        ).alias("ams_est")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("f2").cast("bigint").alias("exact_f2"),
+        F.round("ams_est", 2).alias("ams_est"),
+        F.round(
+            F.abs(F.col("ams_est") - F.col("f2")) / F.col("f2"), 6
+        ).alias("rel_err"),
     )

@@ -67,3 +67,26 @@ def test_quantile_release_utility_and_reproducibility(spark):
     # the released edge should bracket the true median within one bin
     # of the best candidate (utility is within the same bound)
     assert abs(r1.released_edge - r1.true_median) < 8000 + 50 * 8000 / 250
+
+
+def test_ams_f2_estimator_quality(spark):
+    """AMS median-of-means with 16 groups x 16 counters: relative
+    error concentrates well under 50%; exact_f2 must equal the
+    directly-computed sum of squared part degrees. (Lives here with
+    the other mechanism tests; the key itself is in the sketch
+    family.)"""
+    from pyspark.sql import functions as F
+
+    from etl_framework_spark.catalog import table
+
+    row = ent.queries()["sketch_ams_f2"](spark, SF_SMALL).collect()[0]
+    li = table(spark, SF_SMALL, "lineitem")
+    f2 = (
+        li.groupBy("l_partkey")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")))
+        .collect()[0][0]
+    )
+    assert row.exact_f2 == f2
+    assert row.rel_err < 0.5, row
+    assert row.ams_est > 0
