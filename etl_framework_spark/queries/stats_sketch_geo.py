@@ -1,5 +1,6 @@
 """Contract keys: ``stats_ks_test``, ``stats_mannwhitney``, ``sketch_cms``,
-``sketch_bloom``, ``sketch_ams_f2``, ``ts_cusum``, ``fn_geo``,
+``sketch_bloom``, ``sketch_ams_f2``, ``sketch_kmv_distinct``,
+``ts_cusum``, ``fn_geo``,
 ``llm_kn_bigram``, ``llm_eval_xent``, ``shard_manifest``.
 
 Nonparametric statistical tests, deterministic
@@ -977,6 +978,7 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # AMS tug-of-war sketch — self-join-size / F2 estimation (exact oracle)
 # --------------------------------------------------------------------------
 _AMS_J = 256       # sign counters
+_TWO32_AMS = 4294967296  # 2^32 — md5-prefix uniform denominator
 _AMS_GROUPS = 16   # median-of-means: 16 groups × 16 counters
 
 
@@ -1063,4 +1065,76 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.abs(F.col("ams_est") - F.col("f2")) / F.col("f2"), 6
         ).alias("rel_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch — distinct-count / F0 estimation
+# --------------------------------------------------------------------------
+_KMV_K = 256
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    hashed AS (
+      SELECT (('0x' || substr(md5('kmv:' || k), 1, 8))::UBIGINT + 0.5)
+               / {_TWO32_AMS}.0 AS u
+      FROM keys
+    ),
+    exact AS (SELECT count(*) AS f0 FROM keys),
+    kth AS (
+      SELECT max(u) AS uk, count(*) AS kk
+      FROM (SELECT u FROM hashed ORDER BY u LIMIT {_KMV_K})
+    )
+    SELECT CAST(exact.f0 AS BIGINT) AS exact_distinct,
+           round(CASE WHEN kth.kk < {_KMV_K} THEN CAST(kth.kk AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) / kth.uk END, 2) AS kmv_est,
+           round(abs(CASE WHEN kth.kk < {_KMV_K} THEN CAST(kth.kk AS DOUBLE)
+                          ELSE ({_KMV_K} - 1) / kth.uk END - exact.f0)
+                 / exact.f0, 6) AS rel_err
+    FROM exact CROSS JOIN kth
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count (F0) estimation with the k-minimum-values
+    sketch (Bar-Yossef et al. RANDOM'02; Beyer et al. SIGMOD'07
+    unbiased (k−1)/u_(k) form): hash every key to a DETERMINISTIC
+    md5-uniform in (0,1), keep the k=256 smallest, estimate
+    (k−1)/u_(k) — or the exact count when fewer than k keys exist
+    (the sketch IS exact below its capacity). Completes this repo's
+    exact-oracle sketch trilogy — CMS (point frequency), AMS (F2 /
+    self-join size), KMV (F0 / distinct) — all deterministic, all
+    mergeable: the k smallest hashes of a union are a merge of per-
+    partition k-smallest lists, which is how 1000 executors combine
+    (TakeOrdered, no global sort); HLL (agg_approx_distinct) remains
+    the rows-only production path, KMV is the one whose estimate an
+    oracle can pin bit-for-bit. Ref: reference distinct-sketch tests
+    (cf. agg_approx_distinct, agg_hll_merge)."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").alias("k")).distinct()
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("k"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(_TWO32_AMS))
+    hashed = keys.select(u.alias("u"))
+    exact = keys.agg(F.count("*").alias("f0"))
+    kth = (
+        hashed.orderBy("u")
+        .limit(_KMV_K)
+        .agg(F.max("u").alias("uk"), F.count("*").alias("kk"))
+    )
+    est = F.when(
+        F.col("kk") < _KMV_K, F.col("kk").cast("double")
+    ).otherwise((_KMV_K - 1) / F.col("uk"))
+    return exact.crossJoin(F.broadcast(kth)).select(
+        F.col("f0").cast("bigint").alias("exact_distinct"),
+        F.round(est, 2).alias("kmv_est"),
+        F.round(F.abs(est - F.col("f0")) / F.col("f0"), 6).alias("rel_err"),
     )

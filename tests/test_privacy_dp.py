@@ -90,3 +90,17 @@ def test_ams_f2_estimator_quality(spark):
     assert row.exact_f2 == f2
     assert row.rel_err < 0.5, row
     assert row.ams_est > 0
+
+
+def test_kmv_estimator_exact_below_capacity_and_bounded_above(spark):
+    """KMV with k=256: exact when distinct < k (sf0.001 has 150
+    customers with orders), and within the ~3/sqrt(k) concentration
+    envelope above capacity."""
+    row = ent.queries()["sketch_kmv_distinct"](spark, SF_SMALL).collect()[0]
+    assert row.exact_distinct == 150
+    assert row.kmv_est == 150.0 and row.rel_err == 0.0
+    big = ent.queries()["sketch_kmv_distinct"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert big.exact_distinct == 1500
+    assert 0 < big.rel_err < 3 / (256 ** 0.5), big
