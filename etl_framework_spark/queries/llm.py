@@ -10,7 +10,7 @@ Contract keys: ``llm_dedup_exact``, ``llm_dedup_minhash``,
 ``llm_dedup_minhash_fast``, ``llm_dedup_jaccard``, ``llm_simhash``,
 ``llm_dedup_simhash``, ``llm_text_stats``, ``llm_quality_filter``,
 ``llm_lang_id``, ``llm_fingerprint``, ``mm_binary_meta``, ``mm_decode``,
-``mm_framesample``, ``llm_dedup_cc``.
+``mm_framesample``, ``mm_byte_histogram_neardup``, ``llm_dedup_cc``.
 """
 from __future__ import annotations
 
@@ -603,3 +603,87 @@ def llm_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("component", F.col("node")).alias("component"),
     )
     return full.withColumn("keep", F.col("doc_id") == F.col("component"))
+
+
+# --------------------------------------------------------------------------
+# L6 — codec-free multimodal near-dup (byte-distribution fingerprint)
+# --------------------------------------------------------------------------
+_BH_TAU = 0.05  # normalized L1 distance threshold (probe: 9 pairs at
+# sf0.001, min 0.013, median 0.123 — separates near-dups from the bulk)
+_HEX_NIBBLES = "0123456789ABCDEF"
+
+
+def _bh_oracle() -> str:
+    cols = ", ".join(
+        f"length(hx) - length(replace(hx, '{c}', '')) AS c{i}"
+        for i, c in enumerate(_HEX_NIBBLES)
+    )
+    dsum = " + ".join(
+        f"abs(a.c{i} * b.n - b.c{i} * a.n)" for i in range(16)
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id, lang, source, hex(encode(text)) AS hx FROM documents
+    ),
+    f AS (SELECT doc_id, lang, source, length(hx) AS n, {cols} FROM h)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(({dsum}) / (CAST(a.n AS DOUBLE) * b.n), 6) AS l1_dist
+    FROM f a JOIN f b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE ({dsum}) / (CAST(a.n AS DOUBLE) * b.n) <= {_BH_TAU}
+    """
+
+
+@query("mm_byte_histogram_neardup", oracle=_bh_oracle())
+def mm_byte_histogram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup WITHOUT decoding: payloads are fingerprinted
+    by their 16-bin nibble histogram (one hex() + 16 translate-counts
+    per payload — pure byte-distribution, works on any media format
+    with no codec), and pairs within a (lang, source) block whose
+    length-normalized L1 distance is ≤ 0.05 are near-dup candidates.
+    The distance compares exact INTEGER cross products
+    Σ|cₐᵢ·n_b − c_bᵢ·nₐ| and divides once at the end, so both engines
+    agree bit-for-bit after round(6). This is the honest content
+    similarity available when decode is environment-blocked (see
+    mm_decode's gated stub): re-encoded or trivially-edited copies of
+    the same media keep their byte distribution while cryptographic
+    digests (mm_dedup_exact) break. Feature extraction is one
+    map-side pass; candidate work is bounded by the metadata block
+    like the Jaccard family. Ref: reference multimodal near-dup tests
+    (cf. mm_dedup_exact — the exact-digest cousin)."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    hx = F.hex(F.encode(F.col("text"), "utf-8"))
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length(hx).alias("n"),
+        *[
+            (F.length(hx) - F.length(F.translate(hx, c, ""))).alias(f"c{i}")
+            for i, c in enumerate(_HEX_NIBBLES)
+        ],
+    )
+    a = feats.alias("a")
+    b = feats.alias("b")
+    dsum = None
+    for i in range(16):
+        term = F.abs(
+            F.col(f"a.c{i}") * F.col("b.n") - F.col(f"b.c{i}") * F.col("a.n")
+        )
+        dsum = term if dsum is None else dsum + term
+    dist = dsum / (F.col("a.n").cast("double") * F.col("b.n"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= _BH_TAU)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(dist, 6).alias("l1_dist"),
+        )
+    )

@@ -131,3 +131,23 @@ def test_kmv_jaccard_estimator(spark):
     assert 0.3 < r.exact_jac < 0.7, r  # non-degenerate by construction
     assert r.abs_err <= 4 * (0.25 / 32) ** 0.5, r
     assert r.n_1995 > r.n_2001  # 2001 is a partial year
+
+
+def test_mm_byte_histogram_neardup_properties(spark):
+    """Codec-free multimodal near-dup: symmetric-free pair list
+    (id_a < id_b), distances within [0, tau], and the fingerprint is
+    invariant to byte ORDER (a shuffled payload has the identical
+    histogram — the property that makes it a distribution
+    fingerprint, not a digest)."""
+    rows = ent.queries()["mm_byte_histogram_neardup"](
+        spark, SF_SMALL
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0.0 <= r.l1_dist <= 0.05
+    # order-invariance of the nibble histogram, in plain Python
+    import collections
+    a = "hello world payload".encode().hex().upper()
+    b = "".join(sorted(a))
+    assert collections.Counter(a) == collections.Counter(b)
