@@ -649,7 +649,14 @@ def mm_byte_histogram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same media keep their byte distribution while cryptographic
     digests (mm_dedup_exact) break. Feature extraction is one
     map-side pass; candidate work is bounded by the metadata block
-    like the Jaccard family. Ref: reference multimodal near-dup tests
+    like the Jaccard family (×10 exponent 1.28 — the block² term). A
+    banded scale twin (bucket on the integer-quantized bin-0 rate,
+    probe ±1 — pigeonhole-sound) was measured and REJECTED: natural-
+    text byte distributions cluster so tightly that the buckets
+    collapse into one (exp 1.15, slower in absolute terms at both
+    probe scales); a real media corpus with heterogeneous formats
+    would re-open that door, and the construction is recorded in
+    SCALE.md. Ref: reference multimodal near-dup tests
     (cf. mm_dedup_exact — the exact-digest cousin)."""
     prep(spark)
     docs = table(spark, sf_dir, "documents")

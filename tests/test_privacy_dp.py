@@ -151,3 +151,4 @@ def test_mm_byte_histogram_neardup_properties(spark):
     a = "hello world payload".encode().hex().upper()
     b = "".join(sorted(a))
     assert collections.Counter(a) == collections.Counter(b)
+
