@@ -76,6 +76,13 @@ FLOAT_SENSITIVE = [
     "rank_ndcg",
     "rank_map_mrr",
     "rank_rbo",
+    "dp_noisy_counts",
+    "dp_quantile_release",
+    "sketch_ams_f2",
+    "sketch_kmv_distinct",
+    "sketch_kmv_jaccard",
+    "llm_dedup_jaccard_ppjoin",
+    "mm_byte_histogram_neardup",
 ]
 
 
