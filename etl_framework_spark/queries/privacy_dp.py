@@ -1,5 +1,5 @@
 """Contract keys: ``dp_noisy_counts``, ``dp_contribution_bounded_hist``,
-``dp_quantile_release``.
+``dp_quantile_release``, ``dp_private_topk``.
 
 Differential-privacy release primitives — the two mechanical pieces a
 pipeline needs before publishing aggregate statistics about user-level
@@ -294,4 +294,123 @@ def dp_quantile_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_median",
             F.lit(_Q_EPS).alias("epsilon"),
         )
+    )
+
+
+_TOPK_K = 5
+_TOPK_EPS = 1.0
+_TOPK_COEF = _TOPK_EPS / (2 * _TOPK_K)  # per-pick budget eps/k, sens 1
+
+
+def _topk_oracle() -> str:
+    gum = (
+        "(-ln(-ln(((('0x' || substr(md5('dpk:' || {step} || ':' || b), 1, 8))"
+        f"::UBIGINT + 0.5) / {_TWO32}.0))))"
+    )
+    peels = []
+    for t in range(1, _TOPK_K + 1):
+        excl = (
+            ""
+            if t == 1
+            else "AND b NOT IN ("
+            + " UNION ALL ".join(f"SELECT b FROM p{j}" for j in range(1, t))
+            + ")"
+        )
+        peels.append(
+            f"p{t} AS (SELECT b, c FROM cand "
+            f"WHERE TRUE {excl} "
+            f"ORDER BY {_TOPK_COEF} * c + {gum.format(step=t)} DESC, b "
+            f"LIMIT 1)"
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT {t} AS pick, b, c FROM p{t}" for t in range(1, _TOPK_K + 1)
+    )
+    return f"""
+    WITH cand AS (
+      SELECT p_brand AS b, count(*) AS c
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1
+    ),
+    {', '.join(peels)},
+    ranked AS (
+      SELECT b, row_number() OVER (ORDER BY c DESC, b) AS true_rank
+      FROM cand
+    ),
+    picked AS ({picks})
+    SELECT picked.pick, picked.b AS brand,
+           CAST(picked.c AS BIGINT) AS true_count,
+           CAST(ranked.true_rank AS INT) AS true_rank
+    FROM picked JOIN ranked ON picked.b = ranked.b
+    ORDER BY picked.pick
+    """
+
+
+@query("dp_private_topk", oracle=_topk_oracle())
+def dp_private_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP top-k selection by PEELING the exponential mechanism
+    (Durfee & Rogers NeurIPS'19 shape): five sequential picks, each an
+    argmax of ε/(2k)·count + seeded Gumbel over the not-yet-picked
+    brands — per-pick budget ε/k composes to ε overall, sensitivity 1
+    per lineitem. The peels are UNROLLED into one declarative plan
+    (five 25-row argmax frames chained by anti-joins — no driver
+    loop, no collect), and the seeded md5-Gumbel makes the release
+    bit-reproducible and exactly oracle-checked; the true_rank column
+    reports which picks deviate from the exact top-5, the utility
+    readout DP evaluations plot. Completes the DP family: counts →
+    bounded histograms → quantiles → top-k selection. Ref: reference
+    private-release tests (cf. dp_quantile_release — same Gumbel-max
+    machinery, one pick vs k composed picks)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    cand = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+
+    def score(step: int):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"dpk:{step}:"), F.col("b"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("double")
+            + 0.5
+        ) / F.lit(float(_TWO32))
+        return _TOPK_COEF * F.col("c") + (-F.log(-F.log(u)))
+
+    picks = []
+    excl = None
+    for t in range(1, _TOPK_K + 1):
+        pool = cand if excl is None else cand.join(excl, "b", "left_anti")
+        p = (
+            pool.orderBy(score(t).desc(), "b")
+            .limit(1)
+            .select(F.lit(t).alias("pick"), "b", "c")
+        )
+        picks.append(p)
+        excl = p.select("b") if excl is None else excl.union(p.select("b"))
+    picked = picks[0]
+    for p in picks[1:]:
+        picked = picked.unionAll(p)
+    from pyspark.sql import Window as _W
+
+    ranked = cand.select(
+        "b",
+        F.row_number()
+        .over(_W.orderBy(F.col("c").desc(), "b"))
+        .alias("true_rank"),
+    )
+    return (
+        picked.join(ranked, "b")
+        .select(
+            "pick",
+            F.col("b").alias("brand"),
+            F.col("c").cast("bigint").alias("true_count"),
+            F.col("true_rank").cast("int").alias("true_rank"),
+        )
+        .orderBy("pick")
     )
