@@ -368,6 +368,11 @@ def dp_private_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_brand").alias("b"))
         .agg(F.count("*").alias("c"))
     )
+    # cand's subtree appears in all five peels and the true-rank
+    # window, but the whole key is ONE plan and the identical rollup
+    # exchanges dedupe via ReusedExchange — a persist() was measured
+    # ~neutral (5.21 -> 4.92 s isolated at sf0.1, within drift) and
+    # dropped (r11)
 
     def score(step: int):
         u = (
