@@ -119,7 +119,7 @@ _PROBES = [
 N_BASE = 2_000  # sf0.1 base vectors; replica ids = base_id + k*N_BASE
 
 
-@pytest.mark.parametrize("probe", _PROBES, ids=lambda p: f"x{p[1]}")
+@pytest.mark.parametrize("probe", _PROBES, ids=[f"x{f}" for _, f in _PROBES])
 @pytest.mark.parametrize("key", ["llm_sim_ann", "llm_sim_ivf"])
 def test_planted_twin_recall(spark, key, probe):
     path, factor = probe
