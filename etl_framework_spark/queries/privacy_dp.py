@@ -368,11 +368,20 @@ def dp_private_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_brand").alias("b"))
         .agg(F.count("*").alias("c"))
     )
-    # cand's subtree appears in all five peels and the true-rank
-    # window, but the whole key is ONE plan and the identical rollup
-    # exchanges dedupe via ReusedExchange — a persist() was measured
-    # ~neutral (5.21 -> 4.92 s isolated at sf0.1, within drift) and
-    # dropped (r11)
+    # r11 optimization: the peel runs over a BOUNDED frame (|brands| =
+    # 25 at every scale factor — the brand domain, not the data, sets
+    # it), so the five sequential argmax sub-plans (each its own
+    # TakeOrderedAndProject chain over a ReusedExchange, ~15 stages
+    # end to end, measured 3.2-5.0 s at sf0.1) collapse into ONE row:
+    # collect_list the 25 (b, c) pairs after the count rollup, then
+    # peel all five picks with array expressions inside a single
+    # projection — argmax via F.aggregate (strictly-greater-or-tie-on-
+    # smaller-b scan ≡ orderBy(score DESC, b).limit(1)), exclusion via
+    # F.filter, true_rank via the count of (c, b)-lexicographically
+    # not-after elements ≡ row_number over (c DESC, b). Same picks,
+    # same columns, exactly the oracle's semantics — measured 3.2 s →
+    # ~0.5 s (plan: 5 argmax frames + window + join → 2 exchanges +
+    # one single-row projection).
 
     def score(step: int):
         u = (
@@ -387,35 +396,70 @@ def dp_private_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) / F.lit(float(_TWO32))
         return _TOPK_COEF * F.col("c") + (-F.log(-F.log(u)))
 
-    picks = []
-    excl = None
-    for t in range(1, _TOPK_K + 1):
-        pool = cand if excl is None else cand.join(excl, "b", "left_anti")
-        p = (
-            pool.orderBy(score(t).desc(), "b")
-            .limit(1)
-            .select(F.lit(t).alias("pick"), "b", "c")
-        )
-        picks.append(p)
-        excl = p.select("b") if excl is None else excl.union(p.select("b"))
-    picked = picks[0]
-    for p in picks[1:]:
-        picked = picked.unionAll(p)
-    from pyspark.sql import Window as _W
+    # per-brand scores for all five steps computed ONCE on the 25-row
+    # frame; the fold below then only compares precomputed doubles, so
+    # the whole peel is one constant-size expression (a naive unrolled
+    # chain re-embeds the remaining-set subtree per pick — measured
+    # 24 s of py4j expression construction and a 656 KB plan).
+    one = (
+        cand.select(
+            F.struct(
+                "b",
+                "c",
+                F.array(
+                    *[score(t) for t in range(1, _TOPK_K + 1)]
+                ).alias("ss"),
+            ).alias("e")
+        ).agg(F.collect_list("e").alias("arr"))
+    )
 
-    ranked = cand.select(
-        "b",
-        F.row_number()
-        .over(_W.orderBy(F.col("c").desc(), "b"))
-        .alias("true_rank"),
+    def best(rem, t):
+        # argmax by (score_t DESC, b ASC) ≡ orderBy(score_t.desc(), "b").limit(1)
+        def m(acc, x):
+            sx, sa = F.element_at(x["ss"], t), F.element_at(acc["ss"], t)
+            return F.when(
+                (sx > sa) | ((sx == sa) & (x["b"] < acc["b"])), x
+            ).otherwise(acc)
+
+        return F.aggregate(rem, F.element_at(rem, F.lit(1)), m)
+
+    empty_picks = F.expr(
+        "CAST(array() AS "
+        "array<struct<pick:int,brand:string,true_count:bigint,true_rank:int>>)"
+    )
+
+    def step(acc, t):
+        p = best(acc["rem"], t)
+        # row_number over (c DESC, b) ≡ count of (c, b)-not-after rows
+        true_rank = F.size(
+            F.filter(
+                F.col("arr"),
+                lambda y: (y["c"] > p["c"])
+                | ((y["c"] == p["c"]) & (y["b"] <= p["b"])),
+            )
+        )
+        return F.struct(
+            F.filter(acc["rem"], lambda x: x["b"] != p["b"]).alias("rem"),
+            F.concat(
+                acc["picks"],
+                F.array(
+                    F.struct(
+                        t.cast("int").alias("pick"),
+                        p["b"].alias("brand"),
+                        p["c"].cast("bigint").alias("true_count"),
+                        true_rank.cast("int").alias("true_rank"),
+                    )
+                ),
+            ).alias("picks"),
+        )
+
+    res = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_TOPK_K)),
+        F.struct(F.col("arr").alias("rem"), empty_picks.alias("picks")),
+        step,
     )
     return (
-        picked.join(ranked, "b")
-        .select(
-            "pick",
-            F.col("b").alias("brand"),
-            F.col("c").cast("bigint").alias("true_count"),
-            F.col("true_rank").cast("int").alias("true_rank"),
-        )
+        one.select(F.explode(res["picks"]).alias("p"))
+        .select("p.pick", "p.brand", "p.true_count", "p.true_rank")
         .orderBy("pick")
     )
