@@ -464,7 +464,16 @@ def ppjoin_candidate_pairs(
     sets. t₁ is recovered per pair as min(struct(rk_a, rk_b)) —
     positions are monotone in the global order, so the lexicographic
     min is the first shared token's position pair."""
-    pre = _rarity_prefixed(toksets, tau_num, tau_den)
+    # r11 optimization: the symmetric join references the rarity-
+    # prefixed frame on BOTH sides; without a barrier Spark re-runs
+    # the whole explode → doc-frequency agg+join → two-window ranking
+    # pipeline (4 shuffles) once per side. A lazy localCheckpoint
+    # materializes the small (doc_id, block, tok, rk, n) rows once per
+    # run — at 100 TB the prefix frame is ~(1−τ)·tokens rows of a few
+    # dozen bytes, a fraction of one re-derivation pass.
+    pre = _rarity_prefixed(toksets, tau_num, tau_den).localCheckpoint(
+        eager=False
+    )
     pa = pre.select(
         F.col("doc_id").alias("id_a"),
         "lang",

@@ -162,12 +162,16 @@ def llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_framework_spark.operators.textops import tokens as _tokens
 
     docs = table(spark, sf_dir, "documents")
+    # r11: checkpoint the token-set frame — the operator re-derives it
+    # five times otherwise (twice inside the rarity ranking, once for
+    # the full probe side, twice in the exact-verify joins), each a
+    # full split+array_distinct pass over the corpus.
     toksets = docs.select(
         "doc_id",
         "lang",
         "source",
         F.array_distinct(_tokens("text")).alias("ts"),
-    )
+    ).localCheckpoint(eager=False)
     out = prefix_filtered_jaccard_pairs(toksets, 1, 5)
     return out.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
 
@@ -206,11 +210,13 @@ def llm_dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_framework_spark.operators.textops import tokens as _tokens
 
     docs = table(spark, sf_dir, "documents")
+    # r11: same token-set checkpoint as llm_dedup_jaccard_prefix (the
+    # symmetric-prefix operator re-derives toksets on every consumer).
     toksets = docs.select(
         "doc_id",
         "lang",
         "source",
         F.array_distinct(_tokens("text")).alias("ts"),
-    )
+    ).localCheckpoint(eager=False)
     out = ppjoin_jaccard_pairs(toksets, _PP_NUM, _PP_DEN)
     return out.select("id_a", "id_b", F.round("jac", 6).alias("jac"))

@@ -1034,7 +1034,6 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("c")
     )
     exact = df.agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
-    js = spark.range(_AMS_J).select(F.col("id").cast("int").alias("j"))
     sign = (
         F.conv(
             F.substring(
@@ -1045,8 +1044,28 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 2
     ) * 2 - 1
+    # r11 optimization: the ×256 sign expansion (256·|parts| md5+conv
+    # evaluations — 5.1M at sf0.1) ran single-threaded, the whole
+    # ~4.5 s of this key. Two optimizer effects conspire: a keyed
+    # repartition(N, "k") is ELIMINATED because the rollup's own
+    # exchange already hash-partitions by the same key, and AQE then
+    # coalesces that tiny (~20k-row) exchange to ONE partition — AQE
+    # sizes partitions by exchange bytes and cannot see that the
+    # downstream fan-out multiplies rows 256×. A keyless round-robin
+    # repartition is not subsumed by the existing partitioning, so it
+    # survives and spreads the fan-out over every core (sign stage
+    # 4.25 s → 0.33 s measured at sf0.1). The sort-before-repartition
+    # cost is on ~20k tiny rows — free. Scale-adaptive:
+    # defaultParallelism, not a constant. The broadcast-range
+    # crossJoin is replaced by an inlined explode(sequence) — same
+    # rows, no BNLJ node, no broadcast job.
     z = (
-        df.crossJoin(F.broadcast(js))
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "k",
+            "c",
+            F.explode(F.sequence(F.lit(0), F.lit(_AMS_J - 1)).cast("array<int>")).alias("j"),
+        )
         .groupBy("j")
         .agg(F.sum(F.col("c") * sign).alias("zj"))
     )
