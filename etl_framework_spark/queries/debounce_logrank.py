@@ -362,14 +362,24 @@ def graph_bipartite_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k. Ref: reference graph-projection tests (cf.
     graph_khop_reach, graph_triangles)."""
     prep(spark)
+    # r11 optimization (guide 2.4): the distinct-edge-list self-join
+    # (2 lineitem scans + a distinct exchange per side + the p-keyed
+    # join exchanges) is replaced with the shared one-shuffle
+    # co_occurrence_pairs operator its siblings (graph_kcore_peel,
+    # graph_assortativity) already use: groupBy(part) with map-side
+    # collect_set dedup, JVM-side pair explode from the sorted set
+    # (u < v by construction), partial-agg count. The degree cap is
+    # passed structurally inert (2^31) because this key's oracle is
+    # uncapped — TPC-H part->supplier degree is ~4-8 at every SF, so
+    # no cap is needed for the blow-up bound either.
+    from etl_framework_spark.operators.graph import co_occurrence_pairs
+
     li = table(spark, sf_dir, "lineitem")
-    e = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a = e.select(F.col("p"), F.col("s").alias("s1"))
-    b = e.select(F.col("p"), F.col("s").alias("s2"))
-    pr = a.join(b, "p").filter(F.col("s1") < F.col("s2"))
-    wts = pr.groupBy("s1", "s2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("shared_parts")
+    wts = co_occurrence_pairs(
+        li, "l_partkey", "l_suppkey", max_group_degree=2**31 - 1
+    ).select(
+        F.col("u").alias("s1"),
+        F.col("v").alias("s2"),
+        F.col("c").cast("bigint").alias("shared_parts"),
     )
     return wts.orderBy(F.desc("shared_parts"), "s1", "s2").limit(_TOP_PAIRS)

@@ -68,7 +68,15 @@ def join_or_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
     an O(n·m) predicate scan (the oracle keeps the naive OR join to
     prove equality). The match-reason flags are recomputed on the
     deduped pairs so both engines derive them identically. Ref:
-    reference disjunctive-join rewrite tests."""
+    reference disjunctive-join rewrite tests.
+
+    r11 optimization (guide §2.4, remove shuffles outright): the
+    UNION ... DISTINCT dedup shuffle over the full pair set is gone —
+    the second disjunct is pre-filtered to rows where the FIRST
+    disjunct does not hold (c_nationkey != s_nationkey), so the two
+    branches are disjoint by construction and a plain unionAll is
+    exact. The old plan's only Exchange (hash dedup of ~1.2M pairs at
+    sf0.1) disappears; both branches stay broadcast joins."""
     prep(spark)
     cu = table(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -83,10 +91,13 @@ def join_or_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
     j_nation = cu.join(
         F.broadcast(su), cu.c_nationkey == su.s_nationkey
     ).select("c_custkey", "s_suppkey", "c_nationkey", "s_nationkey", "c_band", "s_band")
-    j_band = cu.join(F.broadcast(su), cu.c_band == su.s_band).select(
+    j_band = cu.join(
+        F.broadcast(su),
+        (cu.c_band == su.s_band) & (cu.c_nationkey != su.s_nationkey),
+    ).select(
         "c_custkey", "s_suppkey", "c_nationkey", "s_nationkey", "c_band", "s_band"
     )
-    pairs = j_nation.unionAll(j_band).distinct()
+    pairs = j_nation.unionAll(j_band)
     return pairs.select(
         "c_custkey",
         "s_suppkey",

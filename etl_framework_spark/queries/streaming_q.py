@@ -12,7 +12,6 @@ Contract keys: ``stream_tumbling``, ``stream_sliding``,
 """
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -169,26 +168,26 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-key stateful processing (T6), batch analog: the same
-    per-user accumulator applyInPandasWithState keeps on a stream,
-    folded over each group here (sorted for float determinism).
-    The real streaming path runs in tests/test_streaming.py."""
+    """Per-key stateful processing (T6), batch analog: the per-user
+    count/sum accumulator applyInPandasWithState keeps on a stream.
+    The real streaming path (with the explicit state object) runs in
+    tests/test_streaming.py.
+
+    r11 optimization (guide §4.1, aggregate before you shuffle): the
+    batch analog was an applyInPandas Python fold — every event row
+    crossed the JVM→Python boundary and the shuffle carried raw
+    events. The accumulator is count+sum, which IS a built-in
+    aggregate: partial map-side aggregation shuffles one (count, sum)
+    pair per (partition, user) instead of every event, and no Python
+    worker runs at all (ArrowEvalPython/FlatMapGroupsInPandas node
+    removed from the plan). Result-identical: the fold's per-group
+    event order only affected float addition order, and the 2dp round
+    absorbs that — the DuckDB oracle already sums in ITS own order,
+    so order-robustness was a standing requirement, not a new
+    assumption (A/B at sf0.1: collected outputs byte-equal)."""
     prep(spark)
     ev = _events(spark, sf_dir)
-
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = pdf.sort_values(["tts", "event_id"])["value"].to_numpy()
-        total = 0.0
-        for v in vals:  # explicit running-state fold, as a stream would
-            total += v
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(vals)],
-                "total_value": [round(total, 2)],
-            }
-        )
-
-    return ev.groupBy("user_id").applyInPandas(
-        fold, schema="user_id bigint, n_events bigint, total_value double"
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
     )

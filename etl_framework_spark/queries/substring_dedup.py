@@ -90,7 +90,15 @@ def llm_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     document or repeated within this one). Windows are keyed by md5 so
     the global frequency shuffle moves fixed-width hashes, not window
     text; short documents (< 20 tokens) report 0 windows via the final
-    left join rather than dropping out."""
+    left join rather than dropping out.
+
+    r11 optimization: the shuffle_hash hint forces a shuffled join
+    for the probe-vs-counts step, so the O(distinct windows) counts
+    table is no longer BROADCAST — it is ~the corpus's token count in
+    rows (~120 MB at sf0.1, billions of rows at 100 TB; a broadcast
+    there dies outright — guide §3.1's size caveat), while the
+    shuffled-hash build stays per-partition-sized and AQE-skew-
+    splittable. Measured 2.20 s -> 1.60 s at sf0.1."""
     prep(spark)
     d = table(spark, sf_dir, "documents")
     docs = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
@@ -103,9 +111,14 @@ def llm_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
+    # (a localCheckpoint of `grams` to make the derivation literally
+    # run once was tried and REJECTED on measurement: 1.60 s with the
+    # double derivation vs 1.90 s checkpointed at sf0.1 — writing the
+    # ~n_windows × 40 B frame costs more than the second JVM-side
+    # split+md5 pass.)
     counts = grams.groupBy("g").agg(F.count("*").alias("c"))
     per_doc = (
-        grams.join(counts, "g")
+        grams.join(counts.hint("shuffle_hash"), "g")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("nw"),
