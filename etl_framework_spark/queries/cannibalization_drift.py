@@ -90,6 +90,11 @@ def sales_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("l_extendedprice").alias("rev"))
     )
+    # r11: checkpoint the daily rollup — the day-keyed self-join
+    # consumes it on BOTH sides, and each side otherwise replays the
+    # lineitem-part join + rollup (the fact-sized work) from scratch.
+    # The frame is |days|x|brands| rows (~60k at sf0.1) — tiny.
+    daily = daily.localCheckpoint(eager=False)
     a = daily.select("day", F.col("brand").alias("b1"), F.col("rev").alias("x"))
     b = daily.select("day", F.col("brand").alias("b2"), F.col("rev").alias("y"))
     pr = a.join(b, "day").filter(F.col("b1") < F.col("b2"))
