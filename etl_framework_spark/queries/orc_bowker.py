@@ -163,6 +163,9 @@ def stats_bowker(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Nearest-centroid classifier: label accuracy + worst confusions
 # --------------------------------------------------------------------------
+_NC_MAX_CENTROIDS = 100  # key%100 label encoding bounds the domain
+
+
 @query(
     "vec_nearest_centroid",
     oracle="""
@@ -233,25 +236,63 @@ def vec_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     carr = cent.groupBy("clabel").agg(
         F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sv")
     ).select("clabel", F.col("sv.c").alias("cv"))
-    j = e.crossJoin(F.broadcast(carr))
-    diffs = F.transform(
-        F.sequence(F.lit(1), F.size("v")),
-        lambda k: (F.element_at("v", k) - F.element_at("cv", k))
-        * (F.element_at("v", k) - F.element_at("cv", k)),
-    )
-    d2 = F.aggregate(
-        F.slice(diffs, 2, F.size(diffs) - 1),
-        F.element_at(diffs, 1),
-        lambda a, b: a + b,
-    )
-    scored = j.select(
-        "vec_id",
-        "label",
-        (F.floor(d2 * 1000000.0 + 0.5) * 100 + F.col("clabel")).alias("key"),
-    )
-    assigned = scored.groupBy("vec_id", "label").agg(
-        (F.min("key") % 100).cast("bigint").alias("pred")
-    )
+    # r11 optimization (guide §4.2, heavy lifting in native code —
+    # same recipe as operators/similarity.anchor_knn): the broadcast
+    # crossJoin fanned every vector out ×|centroids| and evaluated the
+    # per-pair distance with INTERPRETED higher-order lambdas (HOFs
+    # never reach codegen) — ~10M lambda invocations at sf0.1 — then
+    # shuffled the fan-out back through a groupBy(vec_id) min. The
+    # centroid matrix is ≤100 rows by construction (the key%100 label
+    # encoding bounds it), so it is collected under a loud guard and
+    # shipped in the task closure; each Arrow batch computes the
+    # (batch × centroids) distance slab with the dimension-SEQUENTIAL
+    # numpy fold — acc starts at dimension 1's diff² and adds one
+    # dimension's slab at a time, the exact IEEE-754 add order of the
+    # old aggregate(slice(diffs,2,..), element_at(diffs,1), +) fold
+    # and the DuckDB list_reduce oracle — and takes the keyed argmin
+    # locally. No crossJoin, no fan-out shuffle; measured
+    # 1.99 s -> 0.80 s at sf0.1 (the residual is the centroid rollup
+    # + its guarded 10-row collect), oracle-exact at both SFs.
+    import numpy as np
+    import pandas as pd
+
+    rows = carr.limit(_NC_MAX_CENTROIDS + 1).collect()
+    if len(rows) > _NC_MAX_CENTROIDS:
+        raise ValueError(
+            "vec_nearest_centroid: centroid count exceeds "
+            f"{_NC_MAX_CENTROIDS} — the key%100 label encoding (shared "
+            "with the oracle) only supports 2-digit labels; widen both "
+            "together"
+        )
+    if not rows:
+        raise ValueError(
+            "vec_nearest_centroid: no centroids — embeddings table is "
+            "empty"
+        )
+    labels_arr = np.array([r["clabel"] for r in rows], dtype=np.int64)
+    C = np.array([r["cv"] for r in rows], dtype=np.float64)  # (L, D)
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            E = np.array(list(pdf["v"]), dtype=np.float64)  # (B, D)
+            acc = (E[:, 0, None] - C[None, :, 0]) ** 2
+            for d in range(1, C.shape[1]):  # strict fold, slab-vectorized
+                acc += (E[:, d, None] - C[None, :, d]) ** 2
+            key = (
+                np.floor(acc * 1000000.0 + 0.5).astype(np.int64) * 100
+                + labels_arr[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "pred": key.min(axis=1) % 100,
+                }
+            )
+
+    assigned = e.mapInPandas(gen, "vec_id bigint, label int, pred bigint")
     return assigned.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.sum(F.when(F.col("label") == F.col("pred"), 1).otherwise(0))
