@@ -27,9 +27,8 @@ from pyspark.sql import functions as F
 
 from etl_framework_spark.catalog import table
 from etl_framework_spark.operators.dedup import (
+    attach_simhash,
     duck_simhash_bits,
-    md5_per_token,
-    simhash_bits,
 )
 from etl_framework_spark.operators.textops import tokens
 from etl_framework_spark.registry import query
@@ -81,11 +80,10 @@ def llm_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BOTH sides, and without a cache Spark recomputes the md5-per-
     # token signature pipeline twice (measured 1.4 s of a 6.2 s run at
     # sf0.1). Tiny frame — 3 columns, one row per doc.
-    sh = docs.withColumn(
-        "__h", md5_per_token(F.array_distinct(tokens("text")))
-    ).select(
-        "doc_id", "lang", simhash_bits(F.col("__h"), _NBITS).alias("sh")
-    ).transform(persist_tracked)
+    sh = attach_simhash(
+        docs.select("doc_id", "lang", F.array_distinct(tokens("text")).alias("__ts")),
+        "__ts", _NBITS, "sh",
+    ).drop("__ts").transform(persist_tracked)
     banded = sh.select(
         "doc_id",
         "lang",

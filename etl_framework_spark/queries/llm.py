@@ -21,10 +21,9 @@ from etl_framework_spark.catalog import table
 from etl_framework_spark.operators import multimodal
 from etl_framework_spark.operators.dedup import (
     attach_minhash,
+    attach_simhash,
     duck_minhash,
     duck_simhash,
-    md5_per_token,
-    simhash16,
 )
 from etl_framework_spark.operators.textops import (
     BPE_PATTERN,
@@ -258,10 +257,10 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash bits; entirely codegen'd column math, no shuffle."""
     prep(spark)
     docs = table(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("__h", md5_per_token(F.array_distinct(tokens("text"))))
-        .select("doc_id", simhash16(F.col("__h")).alias("simhash"))
-    )
+    return attach_simhash(
+        docs.select("doc_id", F.array_distinct(tokens("text")).alias("__ts")),
+        "__ts", 16, "simhash",
+    ).drop("__ts")
 
 
 @query(
@@ -281,9 +280,10 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     same join shape, bounded buckets."""
     prep(spark)
     docs = table(spark, sf_dir, "documents")
-    sh = docs.withColumn(
-        "__h", md5_per_token(F.array_distinct(tokens("text")))
-    ).select("doc_id", "lang", simhash16(F.col("__h")).alias("simhash"))
+    sh = attach_simhash(
+        docs.select("doc_id", "lang", F.array_distinct(tokens("text")).alias("__ts")),
+        "__ts", 16, "simhash",
+    ).drop("__ts")
     a = sh.alias("a")
     b = sh.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

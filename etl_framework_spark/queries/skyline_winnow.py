@@ -1692,7 +1692,13 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").alias("quality")
     )
-    scored = clusters.join(docs, "doc_id")
+    # shuffle_hash on the docs side: the cluster frame is already hash-
+    # partitioned on doc_id by llm_dedup_minhash's final agg, so the SHJ
+    # adds one exchange for the narrow docs projection and — unlike the
+    # planner's stats-driven choice (MapInPandas reports no size, so it
+    # broadcasts whichever side holds the kernel) — never ships an O(n)
+    # frame through the driver at scale.
+    scored = clusters.join(docs.hint("shuffle_hash"), "doc_id")
     w = W.partitionBy("cluster_id").orderBy(F.col("quality").desc(), "doc_id")
     return scored.select(
         "doc_id",
