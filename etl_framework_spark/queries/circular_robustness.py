@@ -185,13 +185,21 @@ def graph_attack_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("l", F.col("i")), F.element_at("l", F.col("i") + 1)
         ).alias("b"),
     )
-    edges = adj.distinct()
+    # lazy localCheckpoint of the distinct edge list and the degree
+    # rollup: edges is referenced by both degree union branches AND the
+    # edge-classification join, deg by its aggregate and both broadcast
+    # lookups — unmaterialized, every reference replayed the
+    # token-adjacency explode + distinct (24 document scans in the
+    # golden plan). Both frames are vocabulary-sized; .persist() LOST
+    # the alternating A/B here (cache build serializes the critical
+    # path), the checkpoint won it.
+    edges = adj.distinct().localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    )
+    ).localCheckpoint(eager=False)
     dmax = deg.agg(F.max("d").cast("double").alias("dm"))
     qs = spark.range(len(_DEG_CUTS)).select(
         F.element_at(

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from etl_framework_spark.cacheutil import persist_tracked
 from etl_framework_spark.catalog import table
 from etl_framework_spark.operators.similarity import cosine, duck_cosine
 from etl_framework_spark.registry import query
@@ -214,7 +215,12 @@ def vec_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", cosine(F.col("embedding"), F.col("qe")).alias("cos0")
     )
     w0 = W.partitionBy().orderBy(F.desc("cos0"), "vec_id")
-    top0 = base.withColumn("rk0", F.row_number().over(w0))
+    # persist both ranked passes: top0 is referenced THREE times (the
+    # feedback set feeding the rescore lineage, the overlap join, the
+    # old-top1 row) and top1 twice — unpersisted, each reference
+    # replays the full corpus cosine scan (the golden plan carried 28
+    # embedding scans). Tiny frames: one (vec_id, cos, rk) row per doc.
+    top0 = base.withColumn("rk0", F.row_number().over(w0)).transform(persist_tracked)
     fb = top0.filter(F.col("rk0") <= _FB_K).select("vec_id")
     cent = (
         emb.join(fb, "vec_id")
@@ -244,7 +250,7 @@ def vec_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", cosine(F.col("embedding"), F.col("qe2")).alias("cos1")
     )
     w1 = W.partitionBy().orderBy(F.desc("cos1"), "vec_id")
-    top1 = rescored.withColumn("rk1", F.row_number().over(w1))
+    top1 = rescored.withColumn("rk1", F.row_number().over(w1)).transform(persist_tracked)
     overlap = (
         top0.filter(F.col("rk0") <= _FB_K)
         .select("vec_id")
@@ -259,6 +265,9 @@ def vec_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("old_top1"),
         F.round("cos0", 6).alias("old_top_score"),
     )
-    return overlap.crossJoin(new1).crossJoin(old1).select(
+    # broadcast the single-row scalar frames explicitly: with top0/top1
+    # persisted the planner loses their 1-row stats and degrades these
+    # crossJoins to CartesianProduct (flagged by the plan lint).
+    return overlap.crossJoin(F.broadcast(new1)).crossJoin(F.broadcast(old1)).select(
         "top10_overlap", "new_top1", "old_top1", "new_top_score", "old_top_score"
     )

@@ -244,13 +244,21 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("l", F.col("i")), F.element_at("l", F.col("i") + 1)
         ).alias("b"),
     )
-    edges = adj.distinct()
+    # lazy localCheckpoint of the distinct edge list and the degree
+    # rollup: edges is referenced by both degree union branches AND the
+    # edge-classification join, deg by its aggregate and both broadcast
+    # lookups — unmaterialized, every reference replayed the
+    # token-adjacency explode + distinct (24 document scans in the
+    # golden plan). Both frames are vocabulary-sized; .persist() LOST
+    # the alternating A/B here (cache build serializes the critical
+    # path), the checkpoint won it.
+    edges = adj.distinct().localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    )
+    ).localCheckpoint(eager=False)
     thr = deg.agg(F.avg(F.col("d").cast("double")).alias("t"))
     sizes = deg.crossJoin(F.broadcast(thr)).agg(
         F.count(F.lit(1)).cast("double").alias("n_nodes"),

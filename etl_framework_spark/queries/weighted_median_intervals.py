@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from etl_framework_spark.cacheutil import persist_tracked
 from etl_framework_spark.catalog import table
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
@@ -102,7 +103,11 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.sum("w").over(wcum).alias("cw"),
         F.sum("w").over(wall).alias("tw"),
-    )
+        # persist: cum feeds the median pick AND the final rollup —
+        # unpersisted, both replayed the 3-table join and the two
+        # cumulative windows (12 scans in the golden plan). One narrow
+        # row per order.
+    ).transform(persist_tracked)
     wpick = W.partitionBy("nation").orderBy("price", "o_orderkey")
     pick = (
         cum.filter(F.col("cw") * 2 >= F.col("tw"))
