@@ -138,13 +138,20 @@ def _train(docs: DataFrame) -> list[DataFrame]:
             .orderBy(F.col("w").desc(), "u", "v")
             .limit(1)
         )
+        # lazy localCheckpoint per round: top_r's lineage contains
+        # state_{r-1}, which contains every earlier round's argmax —
+        # unmaterialized, round r re-derived ALL earlier rounds, and
+        # the two consumer keys re-derived the whole chain once per
+        # merge application (16 scans / 14 BNLJ in llm_bpe_segment's
+        # golden plan). A 1-row and a BPE_TYPES-row frame per round.
+        top = top.localCheckpoint(eager=False)
         tops.append(top)
         if r < BPE_ROUNDS:
             state = state.crossJoin(F.broadcast(top)).select(
                 "word",
                 "freq",
                 _merge3(F.col("sym"), F.col("u"), F.col("v")).alias("sym"),
-            )
+            ).localCheckpoint(eager=False)
     return tops
 
 

@@ -156,10 +156,13 @@ def orders_promise_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
         full = F.floor(t / 7.0).cast("bigint")
         return 5 * full + F.least(t - 7 * full, F.lit(5).cast("bigint"))
 
+    # lazy localCheckpoint: the busday frame feeds the p90 promise agg
+    # AND the attainment rollup — unmaterialized, both replayed the
+    # lineitem ⋈ orders join. Two narrow columns per line.
     j = li.join(od, li.l_orderkey == od.o_orderkey).select(
         F.col("o_orderpriority").alias("prio"),
         (cum(F.col("l_shipdate")) - cum(F.col("o_orderdate"))).alias("busdays"),
-    )
+    ).localCheckpoint(eager=False)
     promise = j.groupBy("prio").agg(
         F.ceil(F.percentile(F.col("busdays").cast("double"), 0.9)).alias(
             "promise_bd"
