@@ -259,7 +259,11 @@ def sales_brand_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("day", F.col("l_shipdate")).alias("day"),
         )
         .agg(F.sum("l_extendedprice").alias("rev"))
-    )
+        # lazy localCheckpoint: the daily brand rollup feeds the market
+        # re-aggregation AND the beta join — unmaterialized, both
+        # replayed the lineitem ⋈ part join (8 scans in the golden
+        # plan). Same fix as sales_cannibalization this round.
+    ).localCheckpoint(eager=False)
     mkt = daily.groupBy("day").agg(F.sum("rev").alias("mrev"))
     j = daily.join(mkt, "day").select(
         "brand", F.col("rev").alias("x"), F.col("mrev").alias("m")

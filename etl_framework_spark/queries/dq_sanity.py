@@ -89,7 +89,10 @@ def dq_single_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(ns.cast("double")), 6).alias("avg_suppliers"),
         F.min(ns).cast("bigint").alias("min_suppliers"),
         F.max(ns).cast("bigint").alias("max_suppliers"),
-    )
+        # lazy localCheckpoint: the 6-row histogram feeds the total agg
+        # AND the share projection — unmaterialized, both replayed the
+        # two-level lineitem rollup.
+    ).localCheckpoint(eager=False)
     t = h.agg(F.sum("n_parts").alias("total"))
     return (
         h.crossJoin(F.broadcast(t))

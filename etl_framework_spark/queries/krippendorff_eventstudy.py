@@ -157,7 +157,10 @@ def join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("left_n") * F.coalesce(F.col("right_n"), F.lit(0))).alias(
             "out_rows"
         ),
-    )
+        # lazy localCheckpoint: the per-key frame feeds the total agg
+        # AND the share projection — unmaterialized, both replayed the
+        # two rollups and their join. One narrow row per join key.
+    ).localCheckpoint(eager=False)
     tot = j.agg(
         F.sum("out_rows").alias("total_out"),
         F.count(F.lit(1)).cast("double").alias("n_keys"),
