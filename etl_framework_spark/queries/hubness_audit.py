@@ -180,7 +180,7 @@ def vec_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mod = anchor_modulus_locked(e.count())
     local = anchor_knn(
-        e.repartition(32),
+        e.repartition(spark.sparkContext.defaultParallelism),
         e.filter(F.col("vec_id") % mod == 0),
         k=_HUB_K,
         quant=1e6,

@@ -125,7 +125,7 @@ def llm_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         x.join(y, "bucket")
         .filter(F.col("i") < F.col("j"))
-        .repartition(32, "i", "j")
+        .repartition(spark.sparkContext.defaultParallelism, "i", "j")
     )
     lb = F.col("lb")
     # per-token match vectors against lb: element type == DP-row type

@@ -228,7 +228,7 @@ def vec_two_nn_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mod = anchor_modulus_locked(v.count())
     local = anchor_knn(
-        v.repartition(32),
+        v.repartition(spark.sparkContext.defaultParallelism),
         v.filter(F.col("vec_id") % mod == 0),
         k=2,
         quant=1e9,
