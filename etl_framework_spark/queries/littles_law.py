@@ -108,7 +108,7 @@ def orders_little_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus-sized stage and is referenced by arrivals, completions
         # AND the flow-time agg — unmaterialized, each reference
         # replayed the orders ⋈ lineitem join (12 scans in the golden
-        # plan). One narrow row per order. .persist() LOST the
+        # plan). One narrow row per order. a plain persist LOST the
         # alternating A/B (1.14 -> 1.77 s); the lazy checkpoint won it.
     ).localCheckpoint(eager=False)
     arrivals = life.groupBy(F.col("arr").alias("day")).agg(

@@ -288,7 +288,7 @@ def llm_bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join, and the 30-row top frame is self-joined — unmaterialized,
     # each reference replayed the tokenize/tf pipeline (24 scans in
     # the golden plan; measured 1.70 -> 1.44 s alternating A/B, while
-    # .persist() LOST at 1.78 s — columnar cache build serializes the
+    # a plain persist LOST at 1.78 s — columnar cache build serializes the
     # critical path where the checkpoint's raw-row spill does not).
     dl = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("double").alias("dlen")

@@ -249,7 +249,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge-classification join, deg by its aggregate and both broadcast
     # lookups — unmaterialized, every reference replayed the
     # token-adjacency explode + distinct (24 document scans in the
-    # golden plan). Both frames are vocabulary-sized; .persist() LOST
+    # golden plan). Both frames are vocabulary-sized; a plain persist LOST
     # the alternating A/B here (cache build serializes the critical
     # path), the checkpoint won it.
     edges = adj.distinct().localCheckpoint(eager=False)
