@@ -112,6 +112,11 @@ def main() -> None:
                 "queries": times,
                 "calibration": calibration,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # contract legibility (VERDICT r11 item 2): echo the env
+                # the run actually used so a reader of the JSON line can
+                # key scaling comparisons on the recorded core count
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "sf_dir": sf_dir,
             }
         )
     )

@@ -441,36 +441,72 @@ def prefix_filtered_jaccard_pairs(
     candidates at all. The exact Jaccard then runs per CANDIDATE via
     array_intersect — bounded by survivors, not by blocks.
 
+    r12 (VERDICT r11 item 3): the probe carries PPJoin's LENGTH
+    filter and a one-sided POSITIONAL filter — both exact, both
+    pruning candidates before the verify stage (the Σ|candidates|
+    term at 100 TB) ever touches a token set:
+
+    - Length: jac ≥ τ forces |A∩B| ≥ τ·max(n_a,n_b) and
+      |A∩B| ≤ min(n_a,n_b), so τ·n_a ≤ n_b and τ·n_b ≤ n_a. Checked
+      inside the join in integer arithmetic (n·den vs n·num).
+    - Positional (one-sided): let t₁ be the matched prefix token of A
+      with minimal rank i₁. Every other common token sorts after t₁
+      in A — prefix matches by minimality, suffix tokens because all
+      suffix ranks exceed every prefix rank — so
+      |A∩B| ≤ 1 + (n_a − i₁). If that misses
+      α = ⌈τ/(1+τ)·(n_a+n_b)⌉ the pair cannot qualify. Unlike
+      PPJoin's two-sided bound this needs no rank on the full probe
+      side, so the exploded B side stays rank-free.
+
     Input: (doc_id, lang, source, ts) with ts distinct tokens.
     Output: (id_a, id_b, jac) for all qualifying pairs, exact.
     """
-    tok = toksets.select(
-        "doc_id", "lang", "source", F.explode("ts").alias("tok")
-    )
     # prefix length p = n - ceil(tau*n) + 1. ⌈τ·n⌉ uses true integer
     # division (`div`), never a float path: n·num + den − 1 stays in
     # long arithmetic end to end, so exactness needs no argument
     # about double precision at all (ADVICE r7).
     pre = _rarity_prefixed(toksets, tau_num, tau_den)
-    pa = pre.select(F.col("doc_id").alias("id_a"), "lang", "source", "tok")
-    tb = tok.select(
+    pa = pre.select(
+        F.col("doc_id").alias("id_a"),
+        "lang",
+        "source",
+        "tok",
+        F.col("__rk").alias("__rka"),
+        F.col("__n").alias("__na"),
+    )
+    tb = toksets.select(
         F.col("doc_id").alias("id_b"),
         F.col("lang").alias("__l2"),
         F.col("source").alias("__s2"),
-        F.col("tok").alias("__t2"),
+        F.size("ts").alias("__nb"),
+        F.explode("ts").alias("__t2"),
     )
-    cand = (
+    first = (
         pa.join(
             tb,
             (F.col("lang") == F.col("__l2"))
             & (F.col("source") == F.col("__s2"))
             & (F.col("tok") == F.col("__t2"))
-            & (F.col("id_a") < F.col("id_b")),
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("__nb") * tau_den >= F.col("__na") * tau_num)
+            & (F.col("__na") * tau_den >= F.col("__nb") * tau_num),
         )
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__shared_pref"))
-        .drop("__shared_pref")
+        .agg(
+            F.min("__rka").alias("__rka1"),
+            F.min("__na").alias("__na"),
+            F.min("__nb").alias("__nb"),
+        )
     )
+    # α = ⌈τ/(1+τ)·(n_a+n_b)⌉ in pure integer arithmetic (same form
+    # as ppjoin_candidate_pairs)
+    alpha = F.expr(
+        f"((__na + __nb) * {tau_num} + {tau_num + tau_den - 1}) "
+        f"div {tau_num + tau_den}"
+    )
+    cand = first.filter(
+        1 + F.col("__na") - F.col("__rka1") >= alpha
+    ).select("id_a", "id_b")
     return verify_exact_jaccard(cand, toksets, tau_num, tau_den)
 
 

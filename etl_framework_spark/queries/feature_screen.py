@@ -264,47 +264,15 @@ def _gc_oracle() -> str:
     return f"{''.join(parts)} SELECT * FROM ({selects}) ORDER BY step"
 
 
-@query("llm_greedy_coverage", oracle=_gc_oracle())
-def llm_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy facility-location selection: the 5 documents that
-    together cover the most vocabulary, picked one at a time by
-    maximal MARGINAL new-token gain (ties → lowest doc_id). The
-    submodular-coverage primitive behind 'pick k exemplar docs for
-    the eval set / dedup anchors' — greedy is (1−1/e)-optimal, and
-    the marginal-gain column shows the diminishing returns curve.
-    Marginal gain is computed by OVERLAP SUBTRACTION (r10 — was a
-    per-step left-anti join + full groupBy over every shingle, the
-    worst row of the r10 bench sweep at ~5 s): per-doc shingle totals
-    are aggregated ONCE, and each step's marginal is total − |doc ∩
-    covered| via an inner join against the broadcast covered set — so
-    the per-step shuffle is only the rows whose token is already
-    covered (≤ K docs' shingles fan-out), not the whole corpus. The
-    covered set stays a set by anti-joining each pick's shingles
-    against it before the union (both sides broadcast-sized). Ref:
-    reference curation-selection tests (cf. train_budget_select for
-    the budgeted knapsack cousin)."""
-    prep(spark)
-    docs = table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("l")
-    ).filter(F.size("l") >= 3)
-    idx = t.select(
-        "doc_id", "l", F.explode(F.sequence(F.lit(1), F.size("l") - 2)).alias("i")
-    )
-    dt = idx.select(
-        "doc_id",
-        F.concat_ws(
-            " ",
-            F.element_at("l", F.col("i")),
-            F.element_at("l", F.col("i") + 1),
-            F.element_at("l", F.col("i") + 2),
-        ).alias("tok"),
-    ).distinct()
-    dt = dt.transform(persist_tracked)
-    vocab_n = dt.select("tok").distinct().count()
-    totals = dt.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("total")
-    ).transform(persist_tracked)
+_GC_CAND0 = 512        # initial candidate pool (top docs by total)
+_GC_CAND_CAP = 32768   # driver-memory cap before the Spark fallback
+
+
+def _gc_spark_loop(spark, dt, totals) -> list[tuple]:
+    """Exact per-step Spark greedy (the pre-r12 path), kept as the
+    fallback when the guarded candidate pool cannot certify the picks
+    (adversarially flat total distributions). One overlap join + one
+    1-row argmax collect per step — correct at any scale, slower."""
     covered = None  # DataFrame of covered shingles (a set, kept tiny)
     out_rows = []
     cum = 0
@@ -335,15 +303,117 @@ def llm_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         if covered is None:
             covered = new_cov
         else:
-            # keep `covered` an exact set (the overlap join would
-            # double-count duplicate tokens): add only genuinely new
-            # tokens — both sides broadcast-sized
             covered = covered.union(
                 new_cov.join(F.broadcast(covered), "tok", "left_anti")
             )
         covered = covered.transform(persist_tracked)
+    return out_rows
+
+
+def _gc_greedy_on_pool(pool: list, have_all: bool) -> list[tuple] | None:
+    """Run the K-step greedy over a collected candidate pool
+    [(doc_id, tokens, total)] sorted by (total desc, doc_id). Returns
+    the result rows, or None when the certificate fails — i.e. some
+    step's best candidate marginal does not STRICTLY beat tau_g, the
+    largest total a non-collected doc could have (the pool's min
+    total; any excluded doc's marginal ≤ its total ≤ tau_g, so
+    best > tau_g certifies the pick globally, ties included because
+    the tie-break is lowest doc_id and excluded docs lose strictly)."""
+    tau_g = -1 if have_all else min(p[2] for p in pool)
+    covered: set = set()
+    out_rows = []
+    cum = 0
+    for step in range(1, _GC_K + 1):
+        best_id, best_m, best_toks = None, 0, None
+        for doc_id, toks, total in pool:
+            # pool is sorted by total desc: once totals fall strictly
+            # below the incumbent marginal no later doc can beat OR
+            # tie it (m ≤ total < best_m)
+            if total < best_m:
+                break
+            m = total - len(toks & covered)
+            if m > best_m or (
+                m == best_m and m > 0 and best_id is not None
+                and doc_id < best_id
+            ):
+                best_id, best_m, best_toks = doc_id, m, toks
+        if best_m <= tau_g:
+            return None  # certificate failed — widen or fall back
+        if best_id is None:  # coverage exhausted (all marginals 0)
+            break
+        cum += best_m
+        out_rows.append((step, int(best_id), int(best_m), cum))
+        covered |= best_toks
+    return out_rows
+
+
+@query("llm_greedy_coverage", oracle=_gc_oracle())
+def llm_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy facility-location selection: the 5 documents that
+    together cover the most vocabulary, picked one at a time by
+    maximal MARGINAL new-token gain (ties → lowest doc_id). The
+    submodular-coverage primitive behind 'pick k exemplar docs for
+    the eval set / dedup anchors' — greedy is (1−1/e)-optimal, and
+    the marginal-gain column shows the diminishing returns curve.
+
+    r12 (VERDICT r11 item 1; guide §1.2 — the distributed algorithm
+    first): the 5 sequential driver-coordinated argmax jobs (one
+    overlap join + 1-row collect each, 4.12 s, the registry's
+    slowest key) collapse into TWO bounded jobs. Every pick must
+    satisfy marginal ≤ total, so only docs whose total beats the
+    pool's floor can ever win: collect the top-C docs by total WITH
+    their shingle sets under the repo's guarded-collect pattern
+    (~C·|doc| strings, ≈1 MB at C=512), run the K-step greedy on the
+    driver with Python sets, and CERTIFY each pick against tau_g =
+    the pool's minimum total (an upper bound on any excluded doc's
+    marginal — strict inequality also settles the lowest-doc_id tie
+    break). A flat total distribution fails the certificate → widen
+    the pool ×8 up to a driver-memory cap, then fall back to the
+    exact per-step Spark loop. Result-identical in all branches; the
+    oracle re-verifies. Ref: reference curation-selection tests (cf.
+    train_budget_select for the budgeted knapsack cousin); the
+    certificate is the CELF lazy-evaluation bound applied to a
+    collected pool."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("l")
+    ).filter(F.size("l") >= 3)
+    idx = t.select(
+        "doc_id", "l", F.explode(F.sequence(F.lit(1), F.size("l") - 2)).alias("i")
+    )
+    dt = idx.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("l", F.col("i")),
+            F.element_at("l", F.col("i") + 1),
+            F.element_at("l", F.col("i") + 2),
+        ).alias("tok"),
+    ).distinct()
+    dt = dt.transform(persist_tracked)
+    vocab_n = dt.select("tok").distinct().count()
+    per_doc = dt.groupBy("doc_id").agg(
+        F.collect_list("tok").alias("toks"),
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+    )
+    out_rows = None
+    c = _GC_CAND0
+    while c <= _GC_CAND_CAP:
+        top = (
+            per_doc.orderBy(F.desc("total"), "doc_id").limit(c + 1).collect()
+        )
+        have_all = len(top) <= c
+        pool = [(r["doc_id"], set(r["toks"]), int(r["total"])) for r in top[:c]]
+        out_rows = _gc_greedy_on_pool(pool, have_all)
+        if out_rows is not None:
+            break
+        c *= 8
+    if out_rows is None:  # certificate never held — exact Spark loop
+        totals = per_doc.select("doc_id", "total").transform(persist_tracked)
+        out_rows = _gc_spark_loop(spark, dt, totals)
+        totals.unpersist()
     dt.unpersist()
-    totals.unpersist()
     res = spark.createDataFrame(
         out_rows, "step int, doc_id bigint, marginal bigint, covered_tokens bigint"
     )

@@ -77,7 +77,14 @@ def prep(spark: SparkSession) -> SparkSession:
         try:
             n = int(spark.conf.get("spark.sql.shuffle.partitions"))
             if n > 64:  # default 200 is wrong for local mode (guide: ~cores)
-                spark.conf.set("spark.sql.shuffle.partitions", "32")
+                # derive from the session's actual core count, not a
+                # local[32] constant (VERDICT r11 item 2): on an 8-core
+                # driver session this is 8, on a real cluster it tracks
+                # total executor cores — never a hard-coded local value
+                cores = spark.sparkContext.defaultParallelism
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(max(8, cores))
+                )
         except Exception:
             pass
         _TUNED.add(sid)

@@ -24,7 +24,12 @@ def test_bench_emits_required_fields() -> None:
                 k.value for k in node.keys
                 if isinstance(k, ast.Constant) and isinstance(k.value, str)
             )
-    required = {"metric", "value", "unit", "queries", "calibration", "sf"}
+    required = {
+        "metric", "value", "unit", "queries", "calibration", "sf",
+        # r12 (VERDICT r11 item 2): the line must echo the env it ran
+        # under so the driver's scaling heuristic can key on cpus
+        "cpus", "sf_dir",
+    }
     missing = required - dict_keys
     assert not missing, f"bench.py payload lost fields: {sorted(missing)}"
 

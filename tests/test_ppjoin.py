@@ -116,3 +116,34 @@ def test_ppjoin_brute_force_on_adversarial_sets(spark):
         if inter / union >= 0.7:
             want.add((a, b))
     assert got == want, f"got {sorted(got)} want {sorted(want)}"
+
+
+def test_one_sided_filters_brute_force_low_tau(spark):
+    """r12: prefix_filtered_jaccard_pairs carries PPJoin's length
+    filter plus a one-sided positional filter. Brute-force parity at
+    τ=0.2 (the llm_dedup_jaccard_prefix regime) on a corpus built to
+    stress both filters: extreme length mismatches (the length filter
+    fires) and pairs whose only shared token is deep in A's prefix
+    (the positional bound fires or just barely clears)."""
+    docs = [
+        (1, ["a", "b", "c", "d", "e"]),
+        (2, ["a"] + [f"z{i}" for i in range(30)]),   # 5/31: length kill
+        (3, ["d", "e", "f", "g"]),                    # jac(1,3)=2/7=0.286
+        (4, ["e", "h", "i", "j", "k", "l", "m"]),     # jac(1,4)=1/11<0.2
+        (5, ["a", "b", "c", "d", "e"]),               # identical to 1
+        (6, [f"q{i}" for i in range(10)] + ["e"]),    # jac(1,6)=1/15<0.2
+        (7, ["c", "d", "e", "f", "g"]),               # jac(3,7)=4/5, jac(1,7)=3/7
+    ]
+    tk = spark.createDataFrame(
+        [(i, "en", "s0", ts) for i, ts in docs],
+        "doc_id long, lang string, source string, ts array<string>",
+    )
+    got = {(a, b) for a, b, _ in _pairs(prefix_filtered_jaccard_pairs(tk, 1, 5))}
+    sets = {i: set(ts) for i, ts in docs}
+    want = set()
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter / union >= 0.2:
+            want.add((a, b))
+    assert got == want, f"got {sorted(got)} want {sorted(want)}"
