@@ -516,9 +516,21 @@ def verify_exact_jaccard(
     """Verification stage shared by every filter-then-verify set-
     similarity join: join candidate (id_a, id_b) pairs back to their
     token sets and keep exact Jaccard ≥ τ. Work is bounded by the
-    CANDIDATE count — the whole point of the filtering stages."""
-    sa = toksets.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("__ta"))
-    sb = toksets.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("__tb"))
+    CANDIDATE count — the whole point of the filtering stages.
+
+    r12 (guide §3.1 size caveat): both token-set sides carry a
+    shuffle_hash hint. toksets is a checkpointed frame with no stats,
+    so the planner BROADCAST the entire corpus (token arrays and all)
+    through the driver on both sides — unboundable at 100 TB, and
+    measured 2.3× slower even at sf0.1 (4.11 → 1.78 s inside
+    llm_dedup_jaccard_prefix: two driver round-trips of an
+    array-heavy relation vs one hash shuffle per side)."""
+    sa = toksets.select(
+        F.col("doc_id").alias("id_a"), F.col("ts").alias("__ta")
+    ).hint("shuffle_hash")
+    sb = toksets.select(
+        F.col("doc_id").alias("id_b"), F.col("ts").alias("__tb")
+    ).hint("shuffle_hash")
     inter = F.size(F.array_intersect("__ta", "__tb")).cast("double")
     return (
         cand.join(sa, "id_a")

@@ -224,6 +224,34 @@ def _peel_sql() -> str:
     return sql + " " + " UNION ALL ".join(parts)
 
 
+_PEEL_COLLECT_CAP = 2_000_000  # ~32 MB of (u, v) longs — the driver
+# bound for the in-process peel; larger edge sets take the
+# distributed fallback
+
+
+def _peel_in_process(edges: list) -> list[tuple]:
+    """The unrolled peel on a collected edge list: per round, count
+    degrees, drop nodes with degree < k and their incident edges.
+    Semantics identical to the distributed loop (round 0 = the
+    unpeeled graph; nodes_remaining counts distinct endpoint ids)."""
+    out = []
+    for r in range(_PEELS + 1):
+        nodes = set()
+        for u, v in edges:
+            nodes.add(u)
+            nodes.add(v)
+        out.append((r, len(nodes), len(edges)))
+        if r == _PEELS:
+            break
+        deg: dict = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= _KCORE}
+        edges = [(u, v) for u, v in edges if u in keep and v in keep]
+    return out
+
+
 @query("graph_kcore_peel", oracle=_peel_sql())
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three unrolled rounds of k-core peeling (k=6) on the
@@ -246,17 +274,39 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_partkey", "l_suppkey", max_group_degree=_MAX_PART_DEG
     ).transform(persist_tracked)
     thr = w0.agg(F.percentile("c", 0.9).alias("t"))
-    # localCheckpoint (eager) the tiny post-threshold edge set and each
-    # peel round: the peel is inherently iterative, and checkpointing
-    # TRUNCATES the lineage so later rounds and the final stats fan-out
-    # scan a materialized single partition instead of dragging the
-    # broadcast-subquery chain through every action (measured: the old
-    # persist()-chain re-ran broadcast stages per action — 8.3s; this
-    # shape is ~4s at sf0.1). On a real cluster an executor loss would
-    # force recompute of a reliable checkpoint instead — acceptable for
-    # a few-hundred-row edge set.
-    # coalesce(1): single-partition rounds avoid 32-task scheduling
-    # overhead per peel.
+    # r12 (guide §1.2; VERDICT r11 item 4): the sparsified top-decile
+    # edge set (~40k rows at sf0.1) was already serialized onto ONE
+    # partition (coalesce(1)) and repeatedly pushed through the driver
+    # as per-round degree broadcasts — ~12 tiny jobs of pure
+    # scheduling overhead. Collect it ONCE under the repo's
+    # guarded-collect pattern (same memory class as the old
+    # single-partition + broadcast shape) and peel in-process; above
+    # the cap, fall back to the distributed per-round loop, which is
+    # the correct shape when the edge set genuinely exceeds one task.
+    # In-process alternating A/B at sf0.1: 4.68 → 3.96 s median,
+    # byte-identical output.
+    edge_rows = (
+        w0.crossJoin(F.broadcast(thr))
+        .filter(F.col("c") > F.col("t"))
+        .select("u", "v")
+        .limit(_PEEL_COLLECT_CAP + 1)
+        .collect()
+    )
+    if len(edge_rows) <= _PEEL_COLLECT_CAP:
+        w0.unpersist()
+        edge_list = [(r["u"], r["v"]) for r in edge_rows]
+        out_rows = _peel_in_process(edge_list)
+        return spark.createDataFrame(
+            out_rows,
+            "round int, nodes_remaining bigint, edges_remaining bigint",
+        )
+    # fallback: distributed unrolled peel (the pre-r12 shape).
+    # localCheckpoint (eager) the edge set and each peel round: the
+    # peel is inherently iterative, and checkpointing TRUNCATES the
+    # lineage so later rounds and the final stats fan-out scan a
+    # materialized single partition instead of dragging the
+    # broadcast-subquery chain through every action. coalesce(1):
+    # single-partition rounds avoid 32-task scheduling overhead.
     edges = (
         w0.crossJoin(F.broadcast(thr))
         .filter(F.col("c") > F.col("t"))

@@ -382,7 +382,7 @@ def llm_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = t.select(
         "doc_id", "l", F.explode(F.sequence(F.lit(1), F.size("l") - 2)).alias("i")
     )
-    dt = idx.select(
+    raw = idx.select(
         "doc_id",
         F.concat_ws(
             " ",
@@ -390,13 +390,19 @@ def llm_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("l", F.col("i") + 1),
             F.element_at("l", F.col("i") + 2),
         ).alias("tok"),
-    ).distinct()
-    dt = dt.transform(persist_tracked)
-    vocab_n = dt.select("tok").distinct().count()
-    per_doc = dt.groupBy("doc_id").agg(
-        F.collect_list("tok").alias("toks"),
-        F.count(F.lit(1)).cast("bigint").alias("total"),
     )
+    # ONE shuffle builds the per-doc distinct shingle sets:
+    # collect_set dedupes (doc, tok) map-side inside the doc-keyed
+    # agg, replacing the old distinct-exchange + second groupBy
+    # (paired in-process A/B at sf0.1: wins every round, ~9.5 → 5.2 s
+    # medians on a noisy box)
+    per_doc = (
+        raw.groupBy("doc_id")
+        .agg(F.collect_set("tok").alias("toks"))
+        .withColumn("total", F.size("toks").cast("bigint"))
+        .transform(persist_tracked)
+    )
+    vocab_n = per_doc.select(F.explode("toks").alias("tok")).distinct().count()
     out_rows = None
     c = _GC_CAND0
     while c <= _GC_CAND_CAP:
@@ -410,10 +416,10 @@ def llm_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         c *= 8
     if out_rows is None:  # certificate never held — exact Spark loop
-        totals = per_doc.select("doc_id", "total").transform(persist_tracked)
+        dt = per_doc.select("doc_id", F.explode("toks").alias("tok"))
+        totals = per_doc.select("doc_id", "total")
         out_rows = _gc_spark_loop(spark, dt, totals)
-        totals.unpersist()
-    dt.unpersist()
+    per_doc.unpersist()
     res = spark.createDataFrame(
         out_rows, "step int, doc_id bigint, marginal bigint, covered_tokens bigint"
     )
