@@ -45,6 +45,39 @@ _H1, _H24, _H168 = 3600, 86400, 604800  # velocity horizons (seconds)
 # --------------------------------------------------------------------------
 # k-hop reachability over the supplier-part bipartite graph
 # --------------------------------------------------------------------------
+_KHOP_COLLECT_CAP = 8_000_000  # distinct (supplier, part) edge rows; two
+# int64 columns ≈ 128 MB via Arrow — the driver bound for the in-process
+# BFS; larger graphs take the distributed frontier-join fallback
+
+
+def _khop_bfs_in_process(s, d, seed: int) -> list[tuple]:
+    """BFS on the collected bipartite edge arrays (numpy int64
+    s=supplier-node, d=part-node per distinct edge). Rounds alternate
+    sides (odd rounds expand a supplier frontier through s→d, even
+    rounds a part frontier through d→s), so each round scans ONE
+    direction of the edge list. Levels with zero new nodes terminate
+    the walk — exactly the recursive CTE / anti-join semantics (a new
+    node at level i+1 needs a neighbor whose MIN level is i)."""
+    import numpy as np
+
+    visited = np.array([seed], dtype=np.int64)
+    frontier = visited
+    out = [(0, 1, 0)]
+    for i in range(1, _K_HOPS + 1):
+        if i % 2 == 1:
+            nxt = np.unique(d[np.isin(s, frontier)])
+        else:
+            nxt = np.unique(s[np.isin(d, frontier)])
+        nxt = nxt[~np.isin(nxt, visited)]
+        if nxt.size == 0:
+            break
+        n_sup = int((nxt % 2 == 0).sum())
+        out.append((i, n_sup, int(nxt.size) - n_sup))
+        visited = np.concatenate([visited, nxt])
+        frontier = nxt
+    return out
+
+
 @query(
     "graph_khop_reach",
     oracle=f"""
@@ -93,8 +126,27 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2).alias("src"),
         (F.col("l_partkey") * 2 + 1).alias("dst"),
     ).distinct()
-    # Materialize the edge list ONCE (persist): it feeds every one of
-    # the k frontier joins, and unpersisted it re-ran the
+    # r12 (guide §1.2; VERDICT r11 item 4): the k unrolled frontier
+    # rounds each cost a distinct shuffle + anti-join + checkpoint job
+    # on a graph whose DISTINCT edge list is tiny next to lineitem
+    # (~0.6M rows at sf0.1). Pull the deduped edge list through Arrow
+    # ONCE under a capped guard and BFS in-process — isolated
+    # alternating A/B at sf0.1, median-of-3: 5.14 → 1.41 s,
+    # value-identical. Above the cap (8M distinct edges ≈ 128 MB) the
+    # distributed frontier-join loop below is the correct shape and
+    # unchanged.
+    head = fwd.limit(_KHOP_COLLECT_CAP + 1).toArrow()
+    if head.num_rows <= _KHOP_COLLECT_CAP:
+        out_rows = _khop_bfs_in_process(
+            head.column("src").to_numpy(zero_copy_only=False),
+            head.column("dst").to_numpy(zero_copy_only=False),
+            2 * _SEED_SUPP,
+        )
+        return spark.createDataFrame(
+            out_rows, "lvl int, n_suppliers bigint, n_parts bigint"
+        )
+    # Fallback: materialize the edge list ONCE (persist): it feeds
+    # every one of the k frontier joins, and unpersisted it re-ran the
     # lineitem-distinct pipeline per round. Each frontier round
     # localCheckpoints — BFS is inherently iterative, and truncating
     # the lineage keeps round i from re-dragging rounds 1..i-1
