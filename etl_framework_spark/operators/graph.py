@@ -20,11 +20,71 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+_CC_COLLECT_CAP = 2_000_000  # distinct directed edge rows; ~32 MB of
+# two int64 columns via Arrow plus the union-find maps — the driver
+# bound for the in-process path. Larger edge lists take the
+# distributed label-propagation fixpoint below.
+
+
+def _uf_components(s, d) -> list[tuple]:
+    """Union-find over collected edge arrays: (node, min reachable
+    id) for every endpoint — exactly the label-propagation fixpoint,
+    in one pass instead of O(diameter) shuffle rounds."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(s, d):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    nodes = set(s)
+    nodes.update(d)
+    comp_min: dict = {}
+    roots = {}
+    for n in nodes:
+        r = find(n)
+        roots[n] = r
+        if n < comp_min.get(r, n + 1):
+            comp_min[r] = n
+    return [(n, comp_min[roots[n]]) for n in nodes]
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
 ) -> DataFrame:
     """(node, component) for every node in `edges`; component = min
     node id reachable. Undirected; self-loops implied."""
+    # r12 (guide §1.2): the fixpoint costs one join+agg+checkpoint
+    # round per label-propagation step (O(diameter) serialized Spark
+    # jobs) even when the DISTINCT edge list is tiny next to its
+    # upstream (llm_dedup_cc: 7.5k star edges at sf0.1 under a MinHash
+    # pipeline). Collect the edge list through Arrow under a capped
+    # guard and union-find in-process — isolated A/B at sf0.1 inside
+    # llm_dedup_cc, median-of-3: 9.34 → 3.20 s, value-identical.
+    # Above the cap the distributed fixpoint below is unchanged — the
+    # correct shape when the edge list genuinely exceeds one task.
+    head = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .limit(_CC_COLLECT_CAP + 1)
+        .toArrow()
+    )
+    if head.num_rows <= _CC_COLLECT_CAP:
+        rows = _uf_components(
+            head.column("a").to_pylist(), head.column("b").to_pylist()
+        )
+        return edges.sparkSession.createDataFrame(
+            rows, "node bigint, component bigint"
+        )
     # checkpointed ONCE: the edge list is consumed every iteration and
     # its lineage (e.g. md5 MinHash signatures upstream) would be
     # recomputed per round otherwise — measured 29s → ~8s at sf0.1
