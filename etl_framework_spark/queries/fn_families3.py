@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_framework_spark.catalog import table
+from etl_framework_spark.operators.rounding import hybrid_round_select
 from etl_framework_spark.registry import query
 from etl_framework_spark.session import prep
 
@@ -116,31 +117,42 @@ def fn_math2(spark: SparkSession, sf_dir: str) -> DataFrame:
     lacks hypot), expm1/log1p. All libm-backed → rounded to 6dp.
 
     Timing note (r10, measured): the raw 15-function projection runs
-    0.29 s at sf0.1; the key's ~3 s is F.round — Spark rounds doubles
+    0.29 s at sf0.1; the key's ~3 s was F.round — Spark rounds doubles
     through a per-value BigDecimal (9M allocations here). That cost is
     the ORACLE-PARITY device (JVM vs C libm differ in the last ulp),
-    not a plan defect; a floor(x·1e6+0.5) rewrite would be ~10× faster
-    but correct only for non-negative values — rejected as fragile."""
+    not a plan defect; a bare floor(x·1e6+0.5) rewrite was rejected in
+    r10 as fragile (sign + decimal-boundary corner cases).
+
+    r12 (VERDICT r11 item 7; guide §4.2): the rejection is resolved by
+    the HYBRID in operators/rounding.py — an Arrow fast path for every
+    value plus Spark's own F.round evaluated lazily on the guard band
+    around half-integer boundaries (60 of 8.4M values here), which is
+    provably the only place the two can disagree. Exactly F.round's
+    output, 3.59 → 1.72 s median at sf0.1 (libm stays in the JVM; only
+    finished doubles cross the Arrow boundary, so DuckDB-vs-JVM libm
+    parity is untouched)."""
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
     d, q, p = F.col("l_discount"), F.col("l_quantity"), F.col("l_extendedprice")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.sin(d), 6).alias("sn"),
-        F.round(F.cos(d), 6).alias("cs"),
-        F.round(F.tan(d), 6).alias("tn"),
-        F.round(F.asin(d), 6).alias("asn"),
-        F.round(F.acos(d), 6).alias("acs"),
-        F.round(F.atan(q), 6).alias("atn"),
-        F.round(F.atan2(q, p), 6).alias("at2"),
-        F.round(F.degrees(d), 6).alias("deg"),
-        F.round(F.radians(q), 6).alias("rad"),
-        F.round(F.log2(p), 6).alias("lg2"),
-        F.round(F.cbrt(p), 6).alias("cb"),
-        F.round(F.hypot(q, p), 6).alias("hyp"),
-        F.round(F.expm1(d), 6).alias("em1"),
-        F.round(F.log1p(d), 6).alias("l1p"),
+    return hybrid_round_select(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        [
+            ("sn", F.sin(d), 6),
+            ("cs", F.cos(d), 6),
+            ("tn", F.tan(d), 6),
+            ("asn", F.asin(d), 6),
+            ("acs", F.acos(d), 6),
+            ("atn", F.atan(q), 6),
+            ("at2", F.atan2(q, p), 6),
+            ("deg", F.degrees(d), 6),
+            ("rad", F.radians(q), 6),
+            ("lg2", F.log2(p), 6),
+            ("cb", F.cbrt(p), 6),
+            ("hyp", F.hypot(q, p), 6),
+            ("em1", F.expm1(d), 6),
+            ("l1p", F.log1p(d), 6),
+        ],
     )
 
 
