@@ -308,13 +308,22 @@ def llm_dedup_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = shingles3(docs).transform(persist_tracked)
     e = t.select("doc_id", "s")
     sz = t.select("doc_id", "n").dropDuplicates(["doc_id"])
-    a = e.select(F.col("doc_id").alias("i"), "s")
-    b = e.select(F.col("doc_id").alias("j"), "s")
-    w = (
-        a.join(b, "s")
-        .filter(F.col("i") < F.col("j"))
-        .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    # r12 (guide §2.4; the r11 one-shuffle-pair-build playbook): the
+    # shingle wedge SELF-join (two join-side exchanges on s + the pair
+    # count exchange) is the exact co_occurrence_pairs shape — one
+    # collect_set exchange per shingle, JVM-side pair explode (i < j
+    # by sort order), partial-agg count. Same pair blow-up bound
+    # (Σ freq² per shingle), one fewer exchange; the cap is passed
+    # structurally inert because the oracle is uncapped. Alternating
+    # A/B at sf0.1: 2.97 → 2.52 s median, output identical.
+    from etl_framework_spark.operators.graph import co_occurrence_pairs
+
+    w = co_occurrence_pairs(
+        e, "s", "doc_id", max_group_degree=2**31 - 1
+    ).select(
+        F.col("u").alias("i"),
+        F.col("v").alias("j"),
+        F.col("c").cast("bigint").alias("common"),
     )
     za = sz.select(F.col("doc_id").alias("i"), F.col("n").alias("n1"))
     zb = sz.select(F.col("doc_id").alias("j"), F.col("n").alias("n2"))
