@@ -97,8 +97,17 @@ def attach_minhash(df: DataFrame, tok_col: str, k: int = 16) -> DataFrame:
                 if toks is None or len(toks) == 0:
                     mins.append(None)
                     continue
-                buf = b"".join(map(digests, toks))
-                a = np.frombuffer(buf, dtype=">u2").reshape(len(toks), 8 * n_digests)
+                # ADVICE r11: skip NULL elements — the Column form this
+                # kernel is byte-identical to maps them to md5(NULL) =
+                # NULL, which array_min then ignores. Current callers
+                # never emit them (array_distinct(split(...))), but the
+                # operator is library surface.
+                vals = [t for t in toks if t is not None]
+                if not vals:
+                    mins.append(None)
+                    continue
+                buf = b"".join(map(digests, vals))
+                a = np.frombuffer(buf, dtype=">u2").reshape(len(vals), 8 * n_digests)
                 mins.append(a.min(axis=0))
             for i in range(k):
                 pdf[f"s{i}"] = pd.Series(
@@ -199,6 +208,10 @@ def attach_simhash(df: DataFrame, tok_col: str, nbits: int = 16, out_col: str = 
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
+    # Contract (ADVICE r11): token arrays must not contain NULL
+    # elements — the majority denominator is the array length, and a
+    # NULL would crash the digest loop. Every current caller feeds
+    # array_distinct(split(...)), which cannot emit NULL elements.
     if not 1 <= nbits <= 32:
         raise ValueError(f"attach_simhash: nbits must be 1..32, got {nbits}")
     out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])

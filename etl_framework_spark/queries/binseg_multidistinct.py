@@ -206,7 +206,10 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(F.lit(1))
             .groupBy("f")
-            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+            # ADVICE r11: count the value column, not lit(1) — the
+            # NULL-valued group must not count (COUNT(DISTINCT col)
+            # skips NULLs). Inert on TPC-H NOT NULL columns.
+            .agg(F.count("v").cast("bigint").alias(alias))
         )
     parts.append(
         li.groupBy(
@@ -215,7 +218,7 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.lit(1))
         .groupBy("f")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d_days"))
+        .agg(F.count("v").cast("bigint").alias("d_days"))
     )
     out = n
     for p in parts:

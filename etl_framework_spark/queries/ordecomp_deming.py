@@ -91,9 +91,14 @@ def join_or_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
     j_nation = cu.join(
         F.broadcast(su), cu.c_nationkey == su.s_nationkey
     ).select("c_custkey", "s_suppkey", "c_nationkey", "s_nationkey", "c_band", "s_band")
+    # ADVICE r11: null-safe inequality — a band-matched pair with a
+    # NULL nationkey must survive (the old UNION..DISTINCT kept it);
+    # `!=` would drop it. Inert on TPC-H NOT NULL keys, exact on
+    # nullable input.
     j_band = cu.join(
         F.broadcast(su),
-        (cu.c_band == su.s_band) & (cu.c_nationkey != su.s_nationkey),
+        (cu.c_band == su.s_band)
+        & ~cu.c_nationkey.eqNullSafe(su.s_nationkey),
     ).select(
         "c_custkey", "s_suppkey", "c_nationkey", "s_nationkey", "c_band", "s_band"
     )

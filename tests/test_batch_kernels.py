@@ -250,3 +250,25 @@ def test_prefix_filtered_jaccard_matches_token_join(spark):
         for r in prefix_filtered_jaccard_pairs(toksets, 1, 5).collect()
     }
     assert new == old and len(new) > 0
+
+
+def test_attach_minhash_skips_null_tokens(spark):
+    """ADVICE r11: a NULL element inside the token array must behave
+    like the Column form (md5(NULL)=NULL, skipped by array_min) — same
+    signature as the array with the NULL removed, and an all-NULL
+    array degrades to the empty-array NULL signature."""
+    from etl_framework_spark.operators.dedup import attach_minhash
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", None, "b"]),
+            (2, ["a", "b"]),
+            (3, [None]),
+            (4, []),
+        ],
+        "doc_id long, ts array<string>",
+    )
+    out = {r.doc_id: tuple(r[f"s{i}"] for i in range(4))
+           for r in attach_minhash(df, "ts", 4).collect()}
+    assert out[1] == out[2]
+    assert out[3] == out[4] == (None,) * 4
